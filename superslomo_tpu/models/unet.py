@@ -1,0 +1,139 @@
+"""The shared 6-level Super SloMo U-Net (stages 1 and 2).
+
+Topology matches the reference exactly (flow-computation:
+scripts/models/flow_computation.py:27-153; flow-interpolation:
+scripts/models/flow_interpolation.py:27-157): encoder of 5 conv-pair blocks
+with 2x avg-pool between (channels 32/64/128/256/512, kernels 7/5/3/3/3), a
+configurable bottleneck at 1/32 resolution (CONV pair, or bidirectional
+ConvLSTM / ConvGRU across the temporal window stack), and a decoder of 5
+bilinear-2x-upsample + conv-pair blocks with skip concatenations, a fuse conv
+at full resolution, and a linear 3x3 head.
+
+TPU-native re-design, not a port:
+
+* NHWC layout; every conv is an ``lax.conv_general_dilated`` XLA tiles onto
+  the MXU, with LeakyReLU fused in.
+* The reference loops Python-level over the T-1 interpolation windows
+  (flow_computation.py:305-311, :318-323). Here the window axis is folded
+  into the batch axis for the encoder and decoder — one big conv per layer —
+  and only the bottleneck sees time (a ``lax.scan`` for CLSTM/CGRU).
+* The cross-stage skip (stage1 bottleneck encoding → stage2 decoder,
+  flow_interpolation.py:98-101, :224-231) is a plain channel concat.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from superslomo_tpu.models.bottleneck import BiConvRNN
+from superslomo_tpu.models.layers import ConvLReLU, FinalConv
+from superslomo_tpu.ops import avg_pool_2x2, upsample_2x_bilinear
+
+# (name_a, name_b, features, kernel) per encoder block.
+_ENCODER_BLOCKS = (
+    ("conv1a", "conv1b", 32, 7),
+    ("conv2a", "conv2b", 64, 5),
+    ("conv3a", "conv3b", 128, 3),
+    ("conv4a", "conv4b", 256, 3),
+    ("conv5a", "conv5b", 512, 3),
+)
+
+_DECODER_BLOCKS = (
+    ("conv7a", "conv7b", 512),
+    ("conv8a", "conv8b", 256),
+    ("conv9a", "conv9b", 128),
+    ("conv10a", "conv10b", 64),
+    ("conv11a", "conv11b", 32),
+)
+
+
+class UNet(nn.Module):
+    """One Super SloMo U-Net stage.
+
+    __call__ input: (B, T, H, W, in_channels) window stack. H, W must be
+    divisible by 32 (guaranteed by the data layer, as in the reference).
+
+    Returns ``(out, encoding, rnn_carry)``:
+      * out: (B, T, H, W, out_channels)
+      * encoding: (B, T, H/32, W/32, 512) bottleneck output when
+        ``emit_encoding`` (stage 1 with cross-stage skip), else None
+      * rnn_carry: recurrent bottleneck state (for hidden-state carry across
+        clips) or None for CONV bottlenecks.
+    """
+
+    out_channels: int
+    bottleneck: str = "CONV"  # CONV | CLSTM | CGRU
+    emit_encoding: bool = False  # stage1 w/ cross-stage skip
+    accept_encoding: bool = False  # stage2 w/ cross-stage skip
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cross_encoding: Optional[jnp.ndarray] = None,
+        rnn_carry=None,
+    ):
+        if x.ndim != 5:
+            raise ValueError(f"expected (B, T, H, W, C), got {x.shape}")
+        B, T, H, W, C = x.shape
+        if H % 32 or W % 32:
+            raise ValueError(f"H, W must be /32-divisible, got {H}x{W}")
+
+        blk = lambda name, feats, k: ConvLReLU(feats, k, dtype=self.dtype, name=name)
+
+        # ---- encoder (window axis folded into batch) ----------------------
+        h = x.reshape(B * T, H, W, C)
+        skips = []
+        for i, (na, nb, feats, k) in enumerate(_ENCODER_BLOCKS):
+            if i > 0:
+                h = avg_pool_2x2(h)
+            h = blk(na, feats, k)(h)
+            h = blk(nb, feats, k)(h)
+            skips.append(h)
+        pool6 = avg_pool_2x2(h)  # (B*T, H/32, W/32, 512)
+
+        # ---- bottleneck ----------------------------------------------------
+        carry_out = None
+        if self.bottleneck == "CONV":
+            h = blk("conv6_0", 512, 3)(pool6)
+            h = blk("conv6_1", 512, 3)(h)
+        elif self.bottleneck in ("CLSTM", "CGRU"):
+            seq = pool6.reshape(B, T, H // 32, W // 32, 512)
+            h, carry_out = BiConvRNN(
+                hidden_channels=512,
+                num_layers=2,
+                cell=self.bottleneck,
+                dtype=self.dtype,
+                name="conv6",
+            )(seq, rnn_carry)
+            h = h.reshape(B * T, H // 32, W // 32, 512)
+        else:
+            raise ValueError(f"unknown bottleneck {self.bottleneck!r}")
+
+        encoding = h.reshape(B, T, H // 32, W // 32, 512) if self.emit_encoding else None
+
+        # ---- decoder (window axis still folded) ----------------------------
+        if self.accept_encoding:
+            if cross_encoding is None:
+                raise ValueError("this stage was built with accept_encoding=True")
+            ce = cross_encoding.reshape(B * T, H // 32, W // 32, 512).astype(h.dtype)
+            h = jnp.concatenate([h, ce], axis=-1)  # 1024ch, as conv7a expects
+        h = upsample_2x_bilinear(h)
+        h = blk("conv7a", 512, 3)(h)
+        h = blk("conv7b", 512, 3)(h)
+
+        for (na, nb, feats), skip in zip(_DECODER_BLOCKS[1:], reversed(skips[1:])):
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = upsample_2x_bilinear(h)
+            h = blk(na, feats, 3)(h)
+            h = blk(nb, feats, 3)(h)
+
+        h = jnp.concatenate([h, skips[0]], axis=-1)
+        h = blk("fuse_conv", 32, 3)(h)
+        out = FinalConv(self.out_channels, dtype=self.dtype, name="final_conv")(h)
+
+        return out.reshape(B, T, H, W, self.out_channels), encoding, carry_out

@@ -1,0 +1,186 @@
+"""Checkpointing and PyTorch-weight conversion.
+
+Native format: a directory with ``meta.json`` (epoch, step, spec) and
+msgpack-serialized pytrees — ``stage1.msgpack`` / ``stage2.msgpack`` kept
+*separate* because the reference's two-stage split is load-bearing: configs
+load / freeze each stage independently (reference: superslomo_r.py:42-88,
+configs STAGE{1,2} LOADPREV/FREEZE; checkpoint dict keys
+``stage{N}_state_dict``, main.py:231-237, unetflow.py:24-30). Optimizer state
+and the schedule live in ``opt.msgpack`` for crash-resume
+(main.py:263-284).
+
+PyTorch → JAX conversion maps the reference's state_dict names onto this
+framework's param tree:
+
+    conv1a.0.weight      → conv1a/conv/kernel   (OIHW → HWIO)
+    conv6.0.0.weight     → conv6_0/conv/kernel  (CONV bottleneck Sequential)
+    final_conv.weight    → final_conv/conv/kernel
+    conv6.forward_net.cell_list.{L}.conv.weight
+                         → conv6/fwd_l{L}/gates/kernel   (ConvLSTM/GRU)
+
+The converter imports torch lazily — the framework core never depends on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+# --------------------------------------------------------------------------- #
+# Native save / load
+# --------------------------------------------------------------------------- #
+def save_checkpoint(ckpt_dir: str, params: dict, opt_state=None, meta: dict | None = None):
+    """params must be {"params": {"stage1": ..., "stage2": ...}}."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tree = params["params"]
+    for stage in ("stage1", "stage2"):
+        with open(os.path.join(ckpt_dir, f"{stage}.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(tree[stage]))
+    if opt_state is not None:
+        with open(os.path.join(ckpt_dir, "opt.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(opt_state))
+    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=2)
+
+
+def load_checkpoint(ckpt_dir: str, params_template: dict, opt_state_template=None):
+    """Restore into the shapes of a freshly-initialized template. Either
+    stage file may be absent (stage-independent loading, as LOADPREV allows)."""
+    tree = dict(params_template["params"])
+    for stage in ("stage1", "stage2"):
+        path = os.path.join(ckpt_dir, f"{stage}.msgpack")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                tree[stage] = serialization.from_bytes(tree[stage], f.read())
+    out = {"params": tree}
+    meta_path = os.path.join(ckpt_dir, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    opt_state = opt_state_template
+    opt_path = os.path.join(ckpt_dir, "opt.msgpack")
+    if opt_state_template is not None and os.path.exists(opt_path):
+        with open(opt_path, "rb") as f:
+            opt_state = serialization.from_bytes(opt_state_template, f.read())
+    return out, opt_state, meta
+
+
+# --------------------------------------------------------------------------- #
+# PyTorch state_dict → flax params
+# --------------------------------------------------------------------------- #
+def _put(tree: Dict[str, Any], path: list[str], value: np.ndarray):
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = jnp.asarray(value)
+
+
+def _conv_entries(name: str, w: np.ndarray, b: np.ndarray | None):
+    out = [(name + ["kernel"], w.transpose(2, 3, 1, 0))]
+    if b is not None:
+        out.append((name + ["bias"], b))
+    return out
+
+
+def convert_unet_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """One stage's torch state_dict → flax param subtree (this stage's
+    "params" node). Unknown keys raise, so silent drift is impossible."""
+    tree: Dict[str, Any] = {}
+    pending = dict(sd)
+
+    def pop_pair(wkey):
+        w = np.asarray(pending.pop(wkey))
+        bkey = wkey[: -len("weight")] + "bias"
+        b = np.asarray(pending.pop(bkey)) if bkey in pending else None
+        return w, b
+
+    for wkey in [k for k in list(pending) if k.endswith("weight")]:
+        if wkey not in pending:
+            continue
+        w, b = pop_pair(wkey)
+
+        m = re.fullmatch(r"(conv\d+[ab]|fuse_conv)\.0\.weight", wkey)
+        if m:
+            for p, v in _conv_entries([m.group(1), "conv"], w, b):
+                _put(tree, p, v)
+            continue
+        m = re.fullmatch(r"conv6\.([01])\.0\.weight", wkey)
+        if m:  # CONV bottleneck: Sequential(conv_block, conv_block)
+            for p, v in _conv_entries([f"conv6_{m.group(1)}", "conv"], w, b):
+                _put(tree, p, v)
+            continue
+        if wkey == "final_conv.weight":
+            for p, v in _conv_entries(["final_conv", "conv"], w, b):
+                _put(tree, p, v)
+            continue
+        # Recurrent bottleneck (reconstructed upstream naming:
+        # conv6.{forward,reverse}_net.cell_list.{L}.conv.weight)
+        m = re.fullmatch(
+            r"conv6\.(forward|reverse)_net\.cell_list\.(\d+)\.conv(?:_can)?\.weight", wkey
+        )
+        if m:
+            direction = "fwd" if m.group(1) == "forward" else "rev"
+            layer = m.group(2)
+            gate = "candidate" if "conv_can" in wkey else "gates"
+            for p, v in _conv_entries(["conv6", f"{direction}_l{layer}", gate], w, b):
+                _put(tree, p, v)
+            continue
+        raise KeyError(f"Unrecognized reference checkpoint key: {wkey}")
+
+    leftovers = [k for k in pending if not k.endswith("num_batches_tracked")]
+    if leftovers:
+        raise KeyError(f"Unconsumed reference checkpoint keys: {leftovers[:5]}")
+    return tree
+
+
+def convert_torch_checkpoint(path: str) -> dict:
+    """Load a reference .pt checkpoint and convert both stages.
+
+    Mirrors unetflow.get_model's key handling (unetflow.py:24-30): prefers
+    ``stage{N}_state_dict`` entries, falls back to a raw state_dict.
+    Returns {"params": {"stage1": ..., "stage2": ...}} (either stage may be
+    missing if the .pt only holds one).
+    """
+    import torch  # lazy: conversion-time only
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    out: Dict[str, Any] = {}
+    if isinstance(blob, dict) and ("stage1_state_dict" in blob or "stage2_state_dict" in blob):
+        for n in (1, 2):
+            key = f"stage{n}_state_dict"
+            if key in blob:
+                sd = {k: v.numpy() for k, v in blob[key].items()}
+                out[f"stage{n}"] = convert_unet_state_dict(sd)
+    else:
+        sd = {k: v.numpy() for k, v in blob.items()}
+        out["stage1"] = convert_unet_state_dict(sd)
+    return {"params": out}
+
+
+def convert_vgg16_state_dict(path: str, out_path: str):
+    """torchvision vgg16 state_dict (.pt/.pth) → .npz consumed by
+    models/vgg.py:init_vgg_params."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.state_dict() if hasattr(blob, "state_dict") else blob
+    arrays = {
+        k: v.numpy()
+        for k, v in sd.items()
+        if k.startswith("features.") and int(k.split(".")[1]) < 23
+    }
+    np.savez(out_path, **arrays)
+    return out_path
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))

@@ -1,0 +1,147 @@
+"""U-Net and composite-model tests: shape walk (mirrors the reference's
+__main__ smoke block at unetflow.py:35-51), multi-t fold correctness, and
+gradient flow."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from superslomo_tpu.config import ModelSpec
+from superslomo_tpu.models.superslomo import (
+    SuperSloMo,
+    forward_inference,
+    make_pairs,
+)
+from superslomo_tpu.models.unet import UNet
+
+H, W = 32, 64
+
+
+def _init(model, *args, **kwargs):
+    return model.init(jax.random.PRNGKey(0), *args, **kwargs)
+
+
+class TestUNet:
+    def test_stage1_shapes_conv(self):
+        m = UNet(out_channels=4, bottleneck="CONV", emit_encoding=True)
+        x = jnp.zeros((1, 1, H, W, 6))
+        params = _init(m, x)
+        out, enc, carry = m.apply(params, x)
+        assert out.shape == (1, 1, H, W, 4)
+        assert enc.shape == (1, 1, H // 32, W // 32, 512)
+        assert carry is None
+
+    def test_stage2_shapes_cross_skip(self):
+        m = UNet(out_channels=5, bottleneck="CONV", accept_encoding=True)
+        x = jnp.zeros((1, 1, H, W, 16))
+        enc = jnp.zeros((1, 1, H // 32, W // 32, 512))
+        params = _init(m, x, enc)
+        out, _, _ = m.apply(params, x, enc)
+        assert out.shape == (1, 1, H, W, 5)
+
+    @pytest.mark.parametrize("cell", ["CLSTM", "CGRU"])
+    def test_recurrent_bottleneck(self, cell):
+        m = UNet(out_channels=4, bottleneck=cell, emit_encoding=False)
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((1, 3, H, W, 6), dtype=np.float32)
+        )  # 3 windows (N_FRAMES=4)
+        params = _init(m, x)
+        out, _, carry = m.apply(params, x)
+        assert out.shape == (1, 3, H, W, 4)
+        assert carry is not None and "fwd_l0" in carry
+        # carry can be threaded back in (hidden-state carry across clips)
+        out2, _, _ = m.apply(params, x, rnn_carry=jax.tree.map(jnp.asarray, carry))
+        assert out2.shape == out.shape
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    def test_param_names_match_reference_layers(self):
+        m = UNet(out_channels=4, bottleneck="CONV")
+        params = _init(m, jnp.zeros((1, 1, H, W, 6)))["params"]
+        for name in ["conv1a", "conv2b", "conv5b", "conv6_0", "conv7a",
+                     "conv11b", "fuse_conv", "final_conv"]:
+            assert name in params, f"missing {name}"
+
+
+class TestSuperSloMo:
+    def _model(self, **kw):
+        spec = ModelSpec(**kw)
+        return SuperSloMo(spec=spec)
+
+    def test_forward_n_frames_2(self):
+        m = self._model(n_frames=2)
+        frames = jnp.asarray(np.random.default_rng(0).standard_normal((2, 2, H, W, 3), dtype=np.float32))
+        t = jnp.full((2, 1), 0.5)
+        params = _init(m, frames, t)
+        out = m.apply(params, frames, t)
+        assert out.pred_images.shape == (2, 1, H, W, 3)
+        assert out.flowC_out.shape == (2, 1, H, W, 4)
+        assert out.flowI_in.shape == (2, 1, H, W, 16)
+        assert out.flowI_out.shape == (2, 1, H, W, 5)
+        assert np.isfinite(np.asarray(out.pred_images)).all()
+
+    def test_forward_reference_t_shape(self):
+        """Accepts the reference's B T-1 1 1 1 t_interp tensor."""
+        m = self._model(n_frames=2)
+        frames = jnp.zeros((1, 2, H, W, 3))
+        t = jnp.full((1, 1, 1, 1, 1), 0.25)
+        params = _init(m, frames, t)
+        est, inter, carry = forward_inference(m, params, frames, t)
+        assert est.shape == (1, H, W, 3)
+        assert inter.flowC_01.shape == (1, H, W, 2)
+        assert inter.v_0t.shape == (1, H, W, 1)
+        assert carry is None
+
+    def test_ssmr_forward_n_frames_4(self):
+        m = self._model(n_frames=4, stage1_bottleneck="CLSTM", stage2_bottleneck="CLSTM")
+        frames = jnp.asarray(np.random.default_rng(1).standard_normal((1, 4, H, W, 3), dtype=np.float32))
+        t = jnp.full((1, 3), 0.5)
+        params = _init(m, frames, t)
+        out = m.apply(params, frames, t)
+        assert out.pred_images.shape == (1, 3, H, W, 3)
+        assert out.rnn_carry is not None
+
+    def test_multi_t_matches_per_t_forwards(self):
+        """The fused t-grid step must equal running the model once per t."""
+        m = self._model(n_frames=2)
+        rng = np.random.default_rng(2)
+        frames = jnp.asarray(rng.standard_normal((1, 2, H, W, 3), dtype=np.float32))
+        t_values = jnp.asarray([1 / 8, 4 / 8, 7 / 8], dtype=jnp.float32)
+        params = _init(m, frames, jnp.full((1, 1), 0.5))
+
+        fused = m.apply(params, frames, t_values, method=SuperSloMo.interpolate_multi_t)
+        assert fused.shape == (1, 3, H, W, 3)
+
+        for k, tv in enumerate(np.asarray(t_values)):
+            out = m.apply(params, frames, jnp.full((1, 1), tv))
+            diff = np.abs(np.asarray(fused[:, k]) - np.asarray(out.pred_images[:, 0]))
+            # A handful of pixels may sit exactly on a bilinear cell boundary
+            # where different XLA fusion orders flip the floor() corner; all
+            # other pixels must match tightly.
+            assert np.mean(diff) < 1e-5, f"mean diff {np.mean(diff)}"
+            assert np.mean(diff > 1e-4) < 0.005, f"{np.mean(diff > 1e-4):%} pixels off"
+
+    def test_pairs(self):
+        frames = jnp.arange(2 * 3 * 1 * 1 * 3, dtype=jnp.float32).reshape(2, 3, 1, 1, 3)
+        pairs = make_pairs(frames)
+        assert pairs.shape == (2, 2, 1, 1, 6)
+        np.testing.assert_array_equal(np.asarray(pairs[:, 0, ..., :3]), np.asarray(frames[:, 0]))
+        np.testing.assert_array_equal(np.asarray(pairs[:, 0, ..., 3:]), np.asarray(frames[:, 1]))
+        np.testing.assert_array_equal(np.asarray(pairs[:, 1, ..., :3]), np.asarray(frames[:, 1]))
+
+    def test_gradients(self):
+        m = self._model(n_frames=2)
+        frames = jnp.asarray(np.random.default_rng(3).standard_normal((1, 2, H, W, 3), dtype=np.float32))
+        t = jnp.full((1, 1), 0.5)
+        params = _init(m, frames, t)
+
+        def loss_fn(p):
+            out = m.apply(p, frames, t)
+            return jnp.mean(out.pred_images ** 2)
+
+        grads = jax.grad(loss_fn)(params)
+        leaves = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert total > 0
