@@ -1,0 +1,131 @@
+"""Sample transforms, NHWC numpy (reference:
+scripts/utils/dataloaders/augmentations.py).
+
+The reference's ToTensor permutes to NCHW for torch (augmentations.py:193-200);
+this framework is NHWC end-to-end, so samples stay (N, H, W, C) float32 and
+the device feed is a straight reinterpret — no transpose on the hot path.
+"""
+
+from __future__ import annotations
+
+import numbers
+from typing import Sequence
+
+import numpy as np
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+
+class RandomCrop:
+    """Same random crop across all frames of the sample
+    (augmentations.py:67-92)."""
+
+    def __init__(self, size, rng: np.random.Generator | None = None):
+        if isinstance(size, numbers.Number):
+            size = (int(size), int(size))
+        self.size = size
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        n, h, w, c = frames.shape
+        th, tw = self.size
+        if (h, w) == (th, tw):
+            return frames
+        y = int(self.rng.integers(0, h - th))
+        x = int(self.rng.integers(0, w - tw))
+        return frames[:, y : y + th, x : x + tw, :]
+
+
+class RandomMirrorRotate:
+    """Horizontal flip 50% + small random rotation about a random center
+    (augmentations.py:39-64). Present for completeness; the reference ships
+    it commented out of every pipeline (default_reader.py:280)."""
+
+    def __init__(self, max_degrees: float = 5.0, rng: np.random.Generator | None = None):
+        self.max_degrees = max_degrees
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        import cv2
+
+        if self.rng.integers(0, 2) == 1:
+            frames = frames[:, :, ::-1, :]
+        n, h, w, _ = frames.shape
+        cx = int(self.rng.integers(0, w))
+        cy = int(self.rng.integers(0, h))
+        theta = float(self.rng.uniform(-self.max_degrees, self.max_degrees))
+        M = cv2.getRotationMatrix2D((cx, cy), theta, 1)
+        out = np.empty_like(frames)
+        for i in range(n):
+            out[i] = cv2.warpAffine(frames[i], M, (w, h)).reshape(h, w, -1)
+        return out
+
+
+class Normalize:
+    """(x / 255 - mean) / std (augmentations.py:181-190)."""
+
+    def __init__(self, pix_mean, pix_std, divisor: float = 255.0):
+        self.mean = np.asarray(pix_mean, dtype=np.float32)
+        self.std = np.asarray(pix_std, dtype=np.float32)
+        self.divisor = divisor
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        return ((frames / self.divisor - self.mean) / self.std).astype(np.float32)
+
+    def inverse(self, frames: np.ndarray) -> np.ndarray:
+        """Denormalize back to 0-255 (evaluate_interpolation_results.py:192-202)."""
+        return (frames * self.std + self.mean) * self.divisor
+
+
+class EvalPad:
+    """Zero-pad (N, H, W, C) to model-friendly dims (augmentations.py:141-178).
+
+    Either a fixed (left, right, top, bottom) padding — matching the
+    reference's torch.nn.ZeroPad2d argument order — or target (H, W) dims
+    split centre-aligned (Slowflow, augmentations.py:149-165).
+    """
+
+    def __init__(self, padding=None, target_dims=None):
+        self.padding = padding
+        self.target_dims = target_dims
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        n, h, w, c = frames.shape
+        if self.target_dims is not None:
+            ho, wo = self.target_dims
+            hp, wp = ho - h, wo - w
+            top, left = hp // 2, wp // 2
+            bottom, right = hp - top, wp - left
+        elif self.padding is not None:
+            left, right, top, bottom = self.padding
+        else:
+            return frames
+        return np.pad(
+            frames, ((0, 0), (top, bottom), (left, right), (0, 0)), mode="constant"
+        )
+
+
+class ToFloatArray:
+    """uint8 frames → float32, staying NHWC (replaces the reference ToTensor's
+    NCHW permute, augmentations.py:193-200)."""
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(frames, dtype=np.float32)
+
+
+def eval_padding_for(h_in: int, w_in: int) -> tuple[int, int, int, int]:
+    """Centre-aligned (left, right, top, bottom) zero padding to the next
+    /32-divisible dims (evaluate_interpolation_results.py:76-99 convention)."""
+    h_ref = int(np.ceil(h_in / 32) * 32)
+    w_ref = int(np.ceil(w_in / 32) * 32)
+    top = (h_ref - h_in) // 2
+    left = (w_ref - w_in) // 2
+    return (left, w_ref - w_in - left, top, h_ref - h_in - top)

@@ -1,0 +1,122 @@
+"""Batching loader + device prefetch.
+
+Replaces the reference's 12-process torch DataLoader with pinned memory
+(default_reader.py:289-311, main.py:188-190) with a TPU-native feed:
+
+* a thread pool decodes/transforms samples (cv2 releases the GIL during
+  imdecode, so threads parallelize well without process-fork overhead);
+* ``prefetch_to_device`` keeps N batches in flight with ``jax.device_put``
+  so the host→HBM copy of batch k+1 overlaps step k's compute — the
+  double-buffered prefetch of BASELINE.json config 5.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Sequence
+
+import numpy as np
+
+
+def _collate(samples: Sequence[tuple]) -> tuple:
+    """Stack a list of per-sample tuples into batched numpy arrays
+    (ints collate to an int array)."""
+    out = []
+    for parts in zip(*samples):
+        if isinstance(parts[0], np.ndarray):
+            out.append(np.stack(parts))
+        else:
+            out.append(np.asarray(parts))
+    return tuple(out)
+
+
+class Loader:
+    """Iterable over shuffled, collated batches of a Reader."""
+
+    def __init__(self, reader, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_threads: int = 4,
+                 seed: int = 0):
+        self.reader = reader
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.reader)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[tuple]:
+        n = len(self.reader)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        if self.num_threads == 1:
+            for b in batches:
+                yield _collate([self.reader[int(i)] for i in b])
+            return
+
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            # pipeline two batches ahead
+            pending = []
+            it = iter(batches)
+
+            def submit(b):
+                return [pool.submit(self.reader.__getitem__, int(i)) for i in b]
+
+            for _ in range(2):
+                b = next(it, None)
+                if b is not None:
+                    pending.append(submit(b))
+            while pending:
+                futs = pending.pop(0)
+                b = next(it, None)
+                if b is not None:
+                    pending.append(submit(b))
+                yield _collate([f.result() for f in futs])
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Wrap a host batch iterator with an N-deep device_put pipeline.
+
+    :param sharding: optional jax.sharding.Sharding (e.g. batch-sharded
+        NamedSharding) applied in device_put — the multi-chip feed path.
+    """
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+                else:
+                    batch = jax.tree.map(jax.device_put, batch)
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,279 @@
+"""The training driver (reference: scripts/main.py Trainer, :40-284).
+
+Capabilities mirrored: Adam over non-frozen params with StepLR decay
+(main.py:255-260), per-iteration loss logging + periodic image dumps to
+tensorboard (main.py:98-166), checkpoint save every SAVE_EVERY epochs with
+stage split + optimizer + schedule + epoch (main.py:218-245), and resume
+(main.py:263-284).
+
+TPU-native: one jitted, mesh-sharded train step (donated params/opt state,
+batch sharded over the ``data`` axis — XLA all-reduces grads over ICI,
+replacing DataParallel), a frozen-stage optax mask instead of
+requires_grad filtering, and host-side data prefetch overlapping the step.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from superslomo_tpu.config import Config, ModelSpec
+from superslomo_tpu.data import get_dataset, prefetch_to_device
+from superslomo_tpu.models.losses import LossWeights, compute_losses
+from superslomo_tpu.models.superslomo import SuperSloMo
+from superslomo_tpu.models.vgg import VGG16Features, init_vgg_params
+from superslomo_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from superslomo_tpu.training import checkpoint as ckpt
+
+log = logging.getLogger(__name__)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    epoch: int = 1
+    step: int = 0
+
+
+def step_lr(base_lr: float, decay: float, period: float):
+    """StepLR(epoch) = base_lr * decay^(epoch // period) (main.py:258-260)."""
+
+    def schedule(epoch: int) -> float:
+        return base_lr * (decay ** (int(epoch) // int(period)))
+
+    return schedule
+
+
+def freeze_mask(params, spec: ModelSpec):
+    """optax mask: True = trainable. Stage freezing replaces the reference's
+    requires_grad filtering (superslomo_r.py:73-88, main.py:255-257)."""
+
+    def is_trainable(path):
+        top = path[0] if path else ""
+        if top == "stage1":
+            return not spec.stage1_freeze
+        if top == "stage2":
+            return not spec.stage2_freeze
+        return True
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def mask_tree(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: mask_tree(v, prefix + (k,)) for k, v in tree.items()}
+        return is_trainable(prefix)
+
+    del flat
+    return mask_tree(params)
+
+
+def make_optimizer(spec: ModelSpec, learning_rate: float):
+    """Adam with injected lr (so the epoch schedule updates without
+    recompiles) and frozen-stage masking."""
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+    return tx
+
+
+def apply_freeze(grads, spec: ModelSpec):
+    """Zero gradients of frozen stages (static gating; XLA removes the dead
+    computation)."""
+
+    def zero_stage(tree):
+        return jax.tree.map(jnp.zeros_like, tree)
+
+    g = dict(grads["params"])
+    if spec.stage1_freeze and "stage1" in g:
+        g["stage1"] = zero_stage(g["stage1"])
+    if spec.stage2_freeze and "stage2" in g:
+        g["stage2"] = zero_stage(g["stage2"])
+    return {"params": g}
+
+
+class Trainer:
+    """Config-driven trainer."""
+
+    def __init__(self, cfg: Config, expt_name: str = "expt", writer=None,
+                 mesh=None, vgg_weights: Optional[str] = None):
+        self.cfg = cfg
+        self.expt_name = expt_name
+        self.spec = cfg.model_spec()
+        self.weights = LossWeights(
+            lambda_r=cfg.getfloat("TRAIN", "LAMBDA_R"),
+            lambda_w=cfg.getfloat("TRAIN", "LAMBDA_W"),
+            lambda_p=cfg.getfloat("TRAIN", "LAMBDA_P"),
+        )
+        self.n_epochs = cfg.getint("TRAIN", "N_EPOCHS")
+        self.save_every = cfg.getint("TRAIN", "SAVE_EVERY")
+        self.lr_schedule = step_lr(
+            cfg.getfloat("TRAIN", "LEARNING_RATE"),
+            cfg.getfloat("TRAIN", "LR_DECAY"),
+            cfg.getfloat("TRAIN", "LR_PERIOD"),
+        )
+        self.ckpt_dir = os.path.join(cfg.get("TRAIN", "CKPT_DIR"), expt_name)
+        self.writer = writer
+        self.mesh = mesh if mesh is not None else make_mesh(n_spatial=1)
+
+        self.model = SuperSloMo(spec=self.spec)
+        self.vgg = VGG16Features()
+        vgg_path = vgg_weights
+        if vgg_path is None and cfg.has("TRAIN", "VGG_WEIGHTS"):
+            vgg_path = cfg.get("TRAIN", "VGG_WEIGHTS") or None
+        self.vgg_params = init_vgg_params(vgg_path)
+        if vgg_path is None:
+            log.warning(
+                "No pretrained VGG16 weights configured (TRAIN.VGG_WEIGHTS) — "
+                "perceptual loss uses deterministic random features. "
+                "Published-quality training requires the pretrained file."
+            )
+
+        self.tx = make_optimizer(self.spec, self.lr_schedule(1))
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, sample_batch) -> TrainState:
+        frames, targets, t = sample_batch
+        params = self.model.init(
+            jax.random.PRNGKey(self.cfg.getint("SEED", "VALUE")),
+            jnp.asarray(frames[:1]), jnp.asarray(t[:1]),
+        )
+        # reference load semantics: LOADPREV pulls stage weights from a
+        # checkpoint before training (superslomo_r.py:42-71)
+        params = self.load_pretrained_stages(params)
+        opt_state = self.tx.init(params)
+        return TrainState(params, opt_state, epoch=1, step=0)
+
+    def load_pretrained_stages(self, params):
+        tree = dict(params["params"])
+        for n, stage in ((1, "stage1"), (2, "stage2")):
+            if self.cfg.getboolean(f"STAGE{n}", "LOADPREV"):
+                path = self.cfg.get(f"STAGE{n}", "WEIGHTS")
+                if not path:
+                    continue
+                if os.path.isdir(path):  # native checkpoint dir
+                    loaded, _, _ = ckpt.load_checkpoint(path, {"params": tree})
+                    tree[stage] = loaded["params"][stage]
+                else:  # torch .pt
+                    conv = ckpt.convert_torch_checkpoint(path)
+                    if stage in conv["params"]:
+                        tree[stage] = conv["params"][stage]
+                log.info("Loaded %s weights from %s", stage, path)
+        return {"params": tree}
+
+    # ------------------------------------------------------------------ #
+    def _build_train_step(self):
+        spec, weights = self.spec, self.weights
+        model, vgg, tx = self.model, self.vgg, self.tx
+
+        def train_step(params, opt_state, vgg_params, frames, targets, t):
+            vgg_apply = lambda img: vgg.apply(vgg_params, img)
+
+            def loss_fn(p):
+                out = model.apply(p, frames, t)
+                losses = compute_losses(out, targets, spec, weights, vgg_apply)
+                return losses[:, 0].mean(), losses.mean(axis=0)
+
+            (_, loss_vec), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = apply_freeze(grads, spec)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss_vec
+
+        data_sh = batch_sharding(self.mesh)
+        repl = replicated(self.mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, repl, repl, data_sh, data_sh, data_sh),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+
+    def set_learning_rate(self, state: TrainState, epoch: int) -> TrainState:
+        lr = self.lr_schedule(epoch)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        return state._replace(opt_state=opt_state)
+
+    # ------------------------------------------------------------------ #
+    def train(self, state: Optional[TrainState] = None, max_steps: Optional[int] = None):
+        loader = get_dataset(self.cfg, "TRAIN")
+        data_sh = batch_sharding(self.mesh)
+
+        if state is None:
+            first = next(iter(loader))
+            state = self.init_state(first)
+            state = self.resume_if_configured(state)
+
+        step = state.step
+        params, opt_state = state.params, state.opt_state
+        for epoch in range(state.epoch, self.n_epochs + 1):
+            lr = self.lr_schedule(epoch)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            if self.writer:
+                self.writer.add_scalars("Learning_Rate", {"TRAIN": lr}, step)
+            t0 = time.time()
+            for frames, targets, t in prefetch_to_device(iter(loader), sharding=data_sh):
+                step += 1
+                params, opt_state, loss_vec = self._train_step(
+                    params, opt_state, self.vgg_params,
+                    jnp.asarray(frames, jnp.float32),
+                    jnp.asarray(targets, jnp.float32),
+                    jnp.asarray(t, jnp.float32),
+                )
+                if self.writer and step % 10 == 0:
+                    lv = np.asarray(loss_vec)
+                    self.write_losses(lv, step, "TRAIN")
+                if step % 100 == 0:
+                    log.info("epoch %d step %d loss %.4f (%.2f s)",
+                             epoch, step, float(loss_vec[0]), time.time() - t0)
+                if max_steps is not None and step >= max_steps:
+                    state = TrainState(params, opt_state, epoch, step)
+                    self.save(state)
+                    return state
+            if epoch % self.save_every == 0:
+                self.save(TrainState(params, opt_state, epoch, step))
+        state = TrainState(params, opt_state, self.n_epochs, step)
+        self.save(state)
+        return state
+
+    def write_losses(self, loss_vec, step, split):
+        names = ["Total_Loss", "Reconstruction_Loss", "Warping_Loss", "Perceptual_Loss"]
+        order = [0, 1, 2, 3]
+        for n, i in zip(names, order):
+            self.writer.add_scalars(n, {split: float(loss_vec[i])}, step)
+
+    # ------------------------------------------------------------------ #
+    def save(self, state: TrainState):
+        path = os.path.join(self.ckpt_dir, f"{self.expt_name}_EPOCH_{state.epoch:04d}")
+        ckpt.save_checkpoint(
+            path, state.params, opt_state=state.opt_state,
+            meta={"epoch": state.epoch, "step": state.step,
+                  "spec": self.spec.__dict__},
+        )
+        log.info("Saved checkpoint %s", path)
+        return path
+
+    def resume_if_configured(self, state: TrainState) -> TrainState:
+        """Resume optimizer/schedule/epoch when a stage is loaded and not
+        frozen (main.py:263-284)."""
+        cfg = self.cfg
+        for n in (1, 2):
+            if cfg.getboolean(f"STAGE{n}", "LOADPREV") and not cfg.getboolean(
+                f"STAGE{n}", "FREEZE"
+            ):
+                path = cfg.get(f"STAGE{n}", "WEIGHTS")
+                if path and os.path.isdir(path):
+                    params, opt_state, meta = ckpt.load_checkpoint(
+                        path, state.params, state.opt_state
+                    )
+                    epoch = max(int(meta.get("epoch", 1)), 1)
+                    log.info("Resuming from %s at epoch %s", path, epoch)
+                    return TrainState(params, opt_state, epoch, int(meta.get("step", 0)))
+        return state
