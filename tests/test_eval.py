@@ -1,0 +1,106 @@
+"""End-to-end evaluator tests on synthetic data: the full PSNR/SSIM/IE
+pipeline over sliding windows, the EPE evaluator, and the visualizer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from superslomo_tpu.cli.common import init_params
+from superslomo_tpu.config import default_config
+from superslomo_tpu.eval.evaluate_interpolation import Evaluator
+from superslomo_tpu.eval.visualize import Interpolator
+from tests.test_data import write_png_clip
+
+
+@pytest.fixture
+def eval_cfg(tmp_path):
+    import pickle
+
+    cfg = default_config()
+    # synthetic "720p-like" clip, but tiny: H_IN=60, W_IN=96 → H_REF=64
+    write_png_clip(tmp_path / "clip_00000", 20, h=60, w=96)
+    pkl = tmp_path / "val_clips.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"clip_00000"}, f)
+    cfg.set("DATA", "DATASET", "ADOBE")
+    cfg.set("ADOBE_DATA", "ROOTDIR", str(tmp_path))
+    cfg.set("ADOBE_DATA", "VAL_CLIPS", str(pkl))
+    cfg.set("ADOBE_DATA", "H_IN", 60)
+    cfg.set("ADOBE_DATA", "W_IN", 96)
+    cfg.set("VAL", "BATCH_SIZE", 2)
+    cfg.set("EVAL", "EVAL_MODE", "TRUE")
+    cfg.set("DATALOADER", "T_SAMPLE", "NIL")
+    cfg.set("DATALOADER", "N_WORKERS", 1)
+    return cfg
+
+
+class PadTo64Evaluator(Evaluator):
+    """The stock Adobe EvalPad is the 720→736 (0,0,8,8) pad; for the tiny
+    synthetic clip we pad 60→64 the same way, monkeypatched via reader."""
+
+
+def test_evaluator_end_to_end(eval_cfg, monkeypatch):
+    # make the Adobe eval transform pad 60→64 instead of 720→736
+    from superslomo_tpu.data import readers as R
+    from superslomo_tpu.data.augmentations import Compose, EvalPad, Normalize, ToFloatArray
+
+    def build_transform(self):
+        mean, std = self.cfg.pixel_mean(), self.cfg.pixel_std()
+        if self.eval_mode:
+            return Compose([Normalize(mean, std), ToFloatArray(),
+                            EvalPad(padding=(0, 0, 2, 2))])
+        raise AssertionError
+
+    monkeypatch.setattr(R.Reader, "build_transform", build_transform)
+
+    params = init_params(eval_cfg)
+    ev = Evaluator(eval_cfg, params)
+    results = ev.run(max_batches=1)
+    assert results["n_images"] > 0
+    assert np.isfinite(results["PSNR"])
+    assert -1 <= results["SSIM"] <= 1
+    assert results["IE"] >= 0
+
+
+def test_visualizer_end_to_end(eval_cfg, tmp_path):
+    src = tmp_path / "clip_00000"
+    out = tmp_path / "out"
+    params = init_params(eval_cfg)
+    interp = Interpolator(eval_cfg, params, upsample_rate=4)
+    n = interp.interpolate_directory(str(src), str(out), max_windows=2)
+    pngs = sorted(os.listdir(out))
+    assert n == len([p for p in pngs if p.endswith(".png")])
+    # 2 windows x (1 original + 3 interpolated) + final frame
+    assert n == 2 * 4 + 1
+
+    import cv2
+
+    img = cv2.imread(str(out / pngs[0]))
+    assert img.shape == (60, 96, 3)
+
+
+def test_flow_evaluator(tmp_path):
+    """Synthetic Sintel EPE layout: clip pngs + .flo ground truths."""
+    from superslomo_tpu.eval.evaluate_flow import evaluate_flow
+    from superslomo_tpu.utils.flo import write_flo
+
+    cfg = default_config()
+    clip = tmp_path / "final" / "alley_1"
+    write_png_clip(clip, 4, h=58, w=96)  # 58+6+6 = 70... must be /32 after pad
+    # EvalPad (0,0,6,6) → 58→70 not /32; use h=52 → 64
+    for f in clip.glob("*.png"):
+        f.unlink()
+    write_png_clip(clip, 4, h=52, w=96)
+    flow_dir = tmp_path / "flow" / "alley_1"
+    os.makedirs(flow_dir)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        write_flo(rng.standard_normal((52, 96, 2)).astype(np.float32),
+                  str(flow_dir / f"frame_{i:04d}.flo"))
+    cfg.set("SINTEL_EPE_DATA", "ROOTDIR", str(tmp_path))
+    cfg.set("SINTEL_EPE_DATA", "SETTING", "FINAL")
+    params = init_params(cfg)
+    res = evaluate_flow(cfg, params, max_samples=2)
+    assert res["n_samples"] == 2
+    assert np.isfinite(res["EPE"])

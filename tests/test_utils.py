@@ -1,0 +1,54 @@
+"""Tests for clip-list generation and validators."""
+
+import numpy as np
+import pytest
+
+from superslomo_tpu.utils.make_clips import window_sequence, write_clip_list
+from superslomo_tpu.data.readers import read_clip_list_file
+from superslomo_tpu.utils.validators import (
+    check_eval_dims,
+    check_forward_inputs,
+    check_t_interp,
+)
+
+
+class TestMakeClips:
+    def test_windowing_right_aligned(self):
+        paths = [f"f{i:03d}.png" for i in range(10)]
+        clips = window_sequence(paths, clip_length=4, step=3)
+        assert [c[0] for c in clips] == ["f000.png", "f003.png", "f006.png"]
+        assert clips[-1][-1] == "f009.png"  # no trailing frames dropped
+
+    def test_too_short(self):
+        assert window_sequence(["a.png"], 4, 3) == []
+
+    def test_roundtrip_with_reader(self, tmp_path):
+        paths = [f"/x/f{i}.png" for i in range(9)]
+        clips = window_sequence(paths, 9, 9)
+        out = tmp_path / "list.txt"
+        write_clip_list(clips, str(out))
+        assert read_clip_list_file(str(out)) == clips
+
+
+class TestValidators:
+    def test_t_interp(self):
+        check_t_interp(np.array([[0.5, 0.125]]))
+        with pytest.raises(ValueError):
+            check_t_interp(np.array([[0.0]]))
+        with pytest.raises(ValueError):
+            check_t_interp(np.array([[1.0]]))
+
+    def test_forward_inputs(self):
+        frames = np.zeros((2, 4, 8, 8, 3))
+        targets = np.zeros((2, 3, 8, 8, 3))
+        t = np.full((2, 3), 0.5)
+        check_forward_inputs(frames, targets, t, n_frames=4)
+        with pytest.raises(ValueError):
+            check_forward_inputs(frames, targets, t, n_frames=2)
+        with pytest.raises(ValueError):
+            check_forward_inputs(frames, targets[:, :1], t, n_frames=4)
+
+    def test_eval_dims(self):
+        check_eval_dims(736, 1280)
+        with pytest.raises(ValueError):
+            check_eval_dims(720, 1280)
