@@ -20,7 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from superslomo_tpu.ops import backward_warp
+from superslomo_tpu.ops import warp_auto as backward_warp
 
 
 def interpolate_flows(flow_pred: jnp.ndarray, t) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,22 +1,39 @@
 """Fused Pallas backward-warp kernel for TPU.
 
-Replaces the XLA gather path of ops/warp.py with two lane-gather passes that
-map onto what Mosaic actually supports on TPU (dynamic gathers are only
-available along the *lane* (minor) dimension — verified empirically; sublane
-and flattened 2-D gathers do not compile):
+Replaces the XLA gather path of ops/warp.py (which profiles at ~34 ms per
+(736, 1280, 3) warp on TPU v5e — the dominant cost of the whole 8x
+interpolation step) with a banded row-offset decomposition built on what
+Mosaic actually supports: dynamic gathers only along the *lane* (minor)
+dimension, and only within a single 128-lane vreg (verified empirically —
+sublane, flattened, and >128-lane gathers do not compile).
 
-  pass V (vertical, transposed layout): for dy ∈ {0, 1}
-      GdyT[x, y] = imgT[x, clip(y0(y,x) + dy)]      # lane gather over H
-  pass H (horizontal + blend):
-      out[y, x] = Σ_{dy,dx} w_{dy,dx}(y,x) · Gdy[y, clip(x0(y,x) + dx)]
-                                                     # lane gather over W
-with the zeros-padding masks folded into the bilinear weights, reproducing
-torch grid_sample(align_corners=True, padding_mode='zeros') exactly, like
-the reference warp (scripts/models/layers.py:73-120).
+A bilinear backward warp out[y, x] = Σ w·img[y0+dy, x0+dx] is NOT separable
+into a vertical then horizontal gather (y0 must be evaluated at the output
+pixel, not at the gathered column), so the kernel instead loops over the
+integer row offset d = y0 - y:
 
-Both passes are row/column blocked so VMEM stays small at 720p/1080p, and a
-custom VJP re-expresses the backward pass with the same kernels'
-pure-JAX equivalent (scatter-add), keeping training correct.
+    for d in [-B, B+1]:                  # scalar-predicated, skipped when
+        rows_d = img[y + d, :]           # no pixel in the block needs d
+        c0 = lane_gather(rows_d, x0)     # segmented 128-lane gathers
+        c1 = lane_gather(rows_d, x0 + 1)
+        out += (y0 == y+d) · (w00·c0 + w01·c1)
+             + (y0+1 == y+d) · (w10·c0 + w11·c1)
+
+The d loop runs over a static band of ±B rows but each iteration is guarded
+by a scalar min/max test of the block's offset field, so smooth real flows
+touch only a handful of offsets. Horizontal reach is ±_U_SEG·128 lanes
+around each output chunk.
+
+Exactness bounds: |v| ≤ B (=128) rows and |u| ≤ _U_SEG·128 (=128) columns.
+Within those bounds the kernel reproduces torch grid_sample
+(align_corners=True, padding_mode='zeros') exactly, like the reference warp
+(scripts/models/layers.py:73-120); beyond them it degrades to zero
+contribution (as if out of frame). The model's own flows sit far inside the
+bounds at 720p/1080p; use ops.warp.backward_warp (XLA gather, unbounded) if
+arbitrary-magnitude flows must be honored.
+
+A custom VJP routes gradients through the mathematically identical pure-JAX
+warp (XLA scatter-add), so training is unaffected.
 """
 
 from __future__ import annotations
@@ -30,75 +47,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 from superslomo_tpu.ops import warp as warp_ref
 
-# Block sizes (sublane dim of each pass). Multiples of 8 for f32 tiling.
-_BLOCK = 128
-_LANES = 128  # Mosaic dynamic_gather operates within one 128-lane vreg
+_LANES = 128   # Mosaic dynamic_gather shuffles within one 128-lane vreg
+_BAND = 128    # max |vertical flow| in rows
+_U_SEG = 1     # horizontal reach in 128-lane segments (max |u| = 128)
+_HB = 64       # output row-block (sublane) size
 
 
-def _gather_chunk(src_ref, idx_chunk: jnp.ndarray, n_src_lanes: int) -> jnp.ndarray:
-    """out[s, l] = src_ref[s, idx_chunk[s, l]] for one 128-lane output chunk.
-
-    Mosaic's tpu.dynamic_gather only shuffles within a single 128-lane
-    vector register, so the gather walks the (n_src_lanes/128) source vregs
-    with in-segment masks. Loops are static → unrolled VPU code; only one
-    (S, 128) accumulator is live at a time.
-    """
-    S = src_ref.shape[0]
-    acc = jnp.zeros((S, _LANES), src_ref.dtype)
-    for j in range(n_src_lanes // _LANES):
-        local = idx_chunk - j * _LANES
+def _gather_row_chunk(rows: jnp.ndarray, idx: jnp.ndarray, j0: int):
+    """out[s, l] = rows[s, idx[s, l] - 128·j0] over the lane segments of
+    ``rows`` (whose lane 0 is absolute column 128·j0)."""
+    S, L = rows.shape
+    acc = jnp.zeros((S, _LANES), rows.dtype)
+    for j in range(L // _LANES):
+        local = idx - (j0 + j) * _LANES
         inseg = (local >= 0) & (local < _LANES)
-        seg = src_ref[:, j * _LANES : (j + 1) * _LANES]
+        seg = rows[:, j * _LANES : (j + 1) * _LANES]
         g = jnp.take_along_axis(seg, jnp.clip(local, 0, _LANES - 1), axis=1)
         acc = jnp.where(inseg, g, acc)
     return acc
 
 
-def _vertical_kernel(imgT_ref, vT_ref, g0T_ref, g1T_ref, *, h_total: int):
-    """Gather rows: GdyT[x, y] = imgT[x, clip(floor(y + v) + dy)].
+def _warp_kernel(img_ref, u_ref, v_ref, out_ref, *, h_total: int, w_total: int):
+    """img_ref: full (Hpad, Wl) plane in VMEM, zero-padded _BAND rows top and
+    bottom (row y of the image lives at img_ref[y + _BAND]).
+    u/v/out blocks: (_HB, Wl), grid over row blocks."""
+    HB, Wl = out_ref.shape
+    nseg = Wl // _LANES
+    dtype = out_ref.dtype
+    r0 = pl.program_id(0) * HB
 
-    imgT/vT blocks: (Wb, Hp) with lane dim Hp a 128-multiple; clipping uses
-    the true image height ``h_total``. Output written chunk-by-chunk to keep
-    VMEM pressure flat.
-    """
-    Wb, Hp = imgT_ref.shape
-    for k in range(Hp // _LANES):
-        sl = slice(k * _LANES, (k + 1) * _LANES)
-        yy = jax.lax.broadcasted_iota(jnp.int32, (Wb, _LANES), 1) + k * _LANES
-        sy = yy.astype(vT_ref.dtype) + vT_ref[:, sl]
-        y0 = jnp.floor(sy).astype(jnp.int32)
-        g0T_ref[:, sl] = _gather_chunk(imgT_ref, jnp.clip(y0, 0, h_total - 1), Hp)
-        g1T_ref[:, sl] = _gather_chunk(imgT_ref, jnp.clip(y0 + 1, 0, h_total - 1), Hp)
-
-
-def _horizontal_kernel(g0_ref, g1_ref, u_ref, v_ref, out_ref, *,
-                       h_total: int, w_total: int):
-    """Gather columns of the row-gathered planes and blend with the bilinear
-    weights (OOB corners → weight 0). Blocks: (Hb, Wp), lane dim Wp a
-    128-multiple; true width ``w_total`` bounds the gather. Processes one
-    128-lane output chunk at a time to keep VMEM pressure flat."""
-    Hb, W = g0_ref.shape  # W == Wp (padded)
-    dtype = g0_ref.dtype
-    row0 = pl.program_id(0) * Hb
-
-    for k in range(W // _LANES):
+    for k in range(nseg):
         sl = slice(k * _LANES, (k + 1) * _LANES)
         u = u_ref[:, sl]
         v = v_ref[:, sl]
-        xx = jax.lax.broadcasted_iota(jnp.int32, (Hb, _LANES), 1) + k * _LANES
+
+        xx = jax.lax.broadcasted_iota(jnp.int32, (HB, _LANES), 1) + k * _LANES
         sx = xx.astype(dtype) + u
         x0f = jnp.floor(sx)
         wx = sx - x0f
         x0 = x0f.astype(jnp.int32)
 
-        yy = jax.lax.broadcasted_iota(jnp.int32, (Hb, _LANES), 0) + row0
+        yy = jax.lax.broadcasted_iota(jnp.int32, (HB, _LANES), 0) + r0
         sy = yy.astype(dtype) + v
         y0f = jnp.floor(sy)
         wy = sy - y0f
         y0 = y0f.astype(jnp.int32)
-
-        x0c = jnp.clip(x0, 0, w_total - 1)
-        x1c = jnp.clip(x0 + 1, 0, w_total - 1)
+        dfield = y0 - yy  # integer row offset each pixel needs
 
         in_x0 = (x0 >= 0) & (x0 < w_total)
         in_x1 = (x0 + 1 >= 0) & (x0 + 1 < w_total)
@@ -110,11 +104,46 @@ def _horizontal_kernel(g0_ref, g1_ref, u_ref, v_ref, out_ref, *,
         w10 = jnp.where(in_y1 & in_x0, wy * (1 - wx), 0).astype(dtype)
         w11 = jnp.where(in_y1 & in_x1, wy * wx, 0).astype(dtype)
 
-        acc = _gather_chunk(g0_ref, x0c, W) * w00
-        acc = acc + _gather_chunk(g0_ref, x1c, W) * w01
-        acc = acc + _gather_chunk(g1_ref, x0c, W) * w10
-        acc = acc + _gather_chunk(g1_ref, x1c, W) * w11
-        out_ref[:, sl] = acc
+        x0c = jnp.clip(x0, 0, w_total - 1)
+        x1c = jnp.clip(x0 + 1, 0, w_total - 1)
+
+        # Only offsets in [min(dfield), max(dfield)+1] can contribute
+        # (+1: y0+1 contributions live at d = dfield + 1). The loop walks
+        # 8-aligned row groups: ONE (HB+8)-row block load (dynamic sublane
+        # loads must be 8-aligned) serves the 8 sub-offsets inside it.
+        dlo = jnp.maximum(jnp.min(dfield), -_BAND)
+        dhi = jnp.minimum(jnp.max(dfield) + 1, _BAND + 1)
+        qlo = jnp.floor_divide(dlo, 8)
+        qhi = jnp.floor_divide(dhi, 8)
+
+        # lane segments the x-gather can touch for this chunk
+        j0 = max(0, k - _U_SEG)
+        j1 = min(nseg, k + _U_SEG + 1)
+        lanes = slice(j0 * _LANES, j1 * _LANES)
+
+        out_ref[:, sl] = jnp.zeros((HB, _LANES), dtype)
+
+        def body(i, carry):
+            q = qlo + i
+            base = pl.multiple_of(r0 + _BAND + 8 * q, 8)
+            blk = img_ref[pl.ds(base, HB + 8), lanes]
+            for s in range(8):
+                d = 8 * q + s
+
+                @pl.when((d >= dlo) & (d <= dhi))
+                def _(s=s, d=d):
+                    rows = jax.lax.slice_in_dim(blk, s, s + HB, axis=0)
+                    c0 = _gather_row_chunk(rows, x0c, j0)
+                    c1 = _gather_row_chunk(rows, x1c, j0)
+                    m0 = (dfield == d).astype(dtype)
+                    m1 = (dfield + 1 == d).astype(dtype)
+                    out_ref[:, sl] += m0 * (w00 * c0 + w01 * c1) + m1 * (
+                        w10 * c0 + w11 * c1
+                    )
+
+            return carry
+
+        jax.lax.fori_loop(0, qhi - qlo + 1, body, 0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -122,63 +151,38 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _warp_plane(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp one (H, W) plane by (H, W, 2) flow via the two Pallas passes.
-
-    Mosaic's dynamic_gather needs tile-aligned (8, 128) operands, so the
-    gather (lane) axis of each pass is padded to a 128-multiple and the
-    sublane axis to the block size.
-    """
+    """Warp one (H, W) plane by (H, W, 2) flow."""
     H, W = img.shape
-    Hl = _round_up(H, 128)  # lane dim of pass V
-    Wl = _round_up(W, 128)  # lane dim of pass H
-    wb = min(_BLOCK, _round_up(W, 8))  # sublane block of pass V
-    hb = min(_BLOCK, _round_up(H, 8))  # sublane block of pass H
-    Wp = _round_up(W, wb)
-    Hp = _round_up(H, hb)
+    Wl = _round_up(W, _LANES)
+    Hp = _round_up(H, _HB)
 
-    imgT = jnp.pad(img.T, ((0, Wp - W), (0, Hl - H)))  # (Wp, Hl)
-    vT = jnp.pad(flow[..., 1].T, ((0, Wp - W), (0, Hl - H)))
-
-    g0T, g1T = pl.pallas_call(
-        functools.partial(_vertical_kernel, h_total=H),
-        grid=(Wp // wb,),
-        in_specs=[
-            pl.BlockSpec((wb, Hl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, Hl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((wb, Hl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, Hl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Wp, Hl), img.dtype),
-            jax.ShapeDtypeStruct((Wp, Hl), img.dtype),
-        ],
-    )(imgT, vT)
-
-    g0 = jnp.pad(g0T[:W, :H].T, ((0, Hp - H), (0, Wl - W)))  # (Hp, Wl)
-    g1 = jnp.pad(g1T[:W, :H].T, ((0, Hp - H), (0, Wl - W)))
+    # the d loop reaches _BAND + 1 and the aligned block load spans _HB + 8
+    # rows from base ≤ (Hp - _HB) + _BAND + 8·ceil((_BAND+1)/8), so pad with
+    # 16 extra rows beyond the band and round to the 8-sublane tile
+    Hpad = _round_up(Hp + 2 * _BAND + 16, 8)
+    img_pad = jnp.pad(img, ((_BAND, Hpad - H - _BAND), (0, Wl - W)))
     u = jnp.pad(flow[..., 0], ((0, Hp - H), (0, Wl - W)))
     v = jnp.pad(flow[..., 1], ((0, Hp - H), (0, Wl - W)))
 
     out = pl.pallas_call(
-        functools.partial(_horizontal_kernel, h_total=H, w_total=W),
-        grid=(Hp // hb,),
+        functools.partial(_warp_kernel, h_total=H, w_total=W),
+        grid=(Hp // _HB,),
         in_specs=[
-            pl.BlockSpec((hb, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hb, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hb, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hb, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hpad, Wl), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_HB, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_HB, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((hb, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((_HB, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Hp, Wl), img.dtype),
-    )(g0, g1, u, v)
+    )(img_pad, u, v)
     return out[:H, :W]
 
 
 @jax.custom_vjp
 def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) x (B, H, W, 2) → (B, H, W, C); grid_sample parity."""
+    """(B, H, W, C) x (B, H, W, 2) → (B, H, W, C); grid_sample parity within
+    the |v| ≤ 128, |u| ≤ 256 band (see module docstring)."""
     flow = flow.astype(img.dtype)
 
     def per_image(im, fl):  # (H, W, C), (H, W, 2)
@@ -193,9 +197,6 @@ def _fwd(img, flow):
 
 
 def _bwd(res, g):
-    # Backward through the mathematically identical pure-JAX warp: XLA's
-    # scatter-add VJP. Warp calls dominate inference; training keeps the
-    # reference numerics.
     img, flow = res
     _, vjp = jax.vjp(lambda i, f: warp_ref.backward_warp(i, f), img, flow)
     return vjp(g)

@@ -134,6 +134,12 @@ class Trainer:
                 "Published-quality training requires the pretrained file."
             )
 
+        # The Pallas warp kernel has no SPMD partitioning rules yet; the
+        # sharded train step keeps the XLA gather warp (see ops.set_pallas_warp).
+        from superslomo_tpu import ops as _ops
+
+        _ops.set_pallas_warp(False)
+
         self.tx = make_optimizer(self.spec, self.lr_schedule(1))
         self._train_step = self._build_train_step()
 
