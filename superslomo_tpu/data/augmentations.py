@@ -69,6 +69,50 @@ class RandomMirrorRotate:
         return out
 
 
+class ResizeCrop:
+    """Resize by a ratio then random-crop (augmentations.py:95-138; present
+    in the reference but unused by its shipped pipelines)."""
+
+    def __init__(self, crop_imh, crop_imw, resize_ratio=0.5,
+                 rng: np.random.Generator | None = None):
+        self.crop_imh = crop_imh
+        self.crop_imw = crop_imw
+        self.ratio = resize_ratio
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        import cv2
+
+        n, h, w, c = frames.shape
+        nh, nw = int(h * self.ratio), int(w * self.ratio)
+        if nh < self.crop_imh or nw < self.crop_imw:
+            scale = max(self.crop_imh / nh, self.crop_imw / nw)
+            nh, nw = max(int(nh * scale), self.crop_imh), max(int(nw * scale), self.crop_imw)
+        out = np.empty((n, nh, nw, c), dtype=frames.dtype)
+        for i in range(n):
+            out[i] = cv2.resize(frames[i], (nw, nh)).reshape(nh, nw, c)
+        y = int(self.rng.integers(0, nh - self.crop_imh + 1))
+        x = int(self.rng.integers(0, nw - self.crop_imw + 1))
+        return out[:, y : y + self.crop_imh, x : x + self.crop_imw]
+
+
+class Binarize:
+    """Grayscale-threshold ground-truth frames (augmentations.py:10-36;
+    unused by the shipped pipelines, kept for capability parity)."""
+
+    def __call__(self, buffers):
+        import cv2
+
+        img_buffer, gt_buffer = buffers
+        n, h, w, _ = gt_buffer.shape
+        out = np.zeros((n, h, w, 1))
+        for i in range(n):
+            gray = cv2.cvtColor(gt_buffer[i].astype(np.uint8), cv2.COLOR_BGR2GRAY)
+            _, binary = cv2.threshold(gray, 1, 255, cv2.THRESH_BINARY)
+            out[i, ..., 0] = binary
+        return [img_buffer, out / 255.0]
+
+
 class Normalize:
     """(x / 255 - mean) / std (augmentations.py:181-190)."""
 

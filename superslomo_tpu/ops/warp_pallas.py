@@ -179,10 +179,25 @@ def _warp_plane(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return out[:H, :W]
 
 
+# The kernel keeps the whole padded plane in VMEM; beyond this byte budget
+# (double-buffered input + blocks must fit in 16 MB) fall back to XLA.
+_VMEM_PLANE_BUDGET = 6_500_000
+
+
+def fits_vmem(h: int, w: int, itemsize: int = 4) -> bool:
+    Hpad = _round_up(_round_up(h, _HB) + 2 * _BAND + 16, 8)
+    Wl = _round_up(w, _LANES)
+    return Hpad * Wl * itemsize <= _VMEM_PLANE_BUDGET
+
+
 @jax.custom_vjp
 def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) x (B, H, W, 2) → (B, H, W, C); grid_sample parity within
-    the |v| ≤ 128, |u| ≤ 256 band (see module docstring)."""
+    the |v| ≤ 128, |u| ≤ 128 band (see module docstring). Falls back to the
+    XLA gather for planes too large to hold in VMEM (≳1080p f32)."""
+    B, H, W, C = img.shape
+    if not fits_vmem(H, W, img.dtype.itemsize):
+        return warp_ref.backward_warp(img, flow)
     flow = flow.astype(img.dtype)
 
     def per_image(im, fl):  # (H, W, C), (H, W, 2)

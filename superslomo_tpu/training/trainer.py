@@ -236,6 +236,8 @@ class Trainer:
                 if self.writer and step % 10 == 0:
                     lv = np.asarray(loss_vec)
                     self.write_losses(lv, step, "TRAIN")
+                if self.writer and step % 100 == 0:
+                    self.write_image(params, frames, t, step, "TRAIN")
                 if step % 100 == 0:
                     log.info("epoch %d step %d loss %.4f (%.2f s)",
                              epoch, step, float(loss_vec[0]), time.time() - t0)
@@ -248,6 +250,18 @@ class Trainer:
         state = TrainState(params, opt_state, self.n_epochs, step)
         self.save(state)
         return state
+
+    def write_image(self, params, frames, t, step, split):
+        """Periodic interpolated-image dump, denormalized (reference
+        main.py:147-166). Runs a fresh inference forward on the first sample."""
+        from superslomo_tpu.models.superslomo import mid_window
+
+        out = self.model.apply(params, jnp.asarray(frames[:1]), jnp.asarray(t[:1]))
+        img = np.asarray(out.pred_images[0, mid_window(out)])
+        mean = np.asarray(self.cfg.pixel_mean(), np.float32)
+        std = np.asarray(self.cfg.pixel_std(), np.float32)
+        img = np.clip(img * std + mean, 0.0, 1.0)
+        self.writer.add_image(split, img.transpose(2, 0, 1), step)
 
     def write_losses(self, loss_vec, step, split):
         names = ["Total_Loss", "Reconstruction_Loss", "Warping_Loss", "Perceptual_Loss"]

@@ -1,0 +1,49 @@
+"""Pallas warp kernel parity tests.
+
+The kernel compiles only for real TPUs (Mosaic dynamic_gather), so these
+tests are skipped on the CPU test platform; they run when JAX_PLATFORMS
+allows a TPU (e.g. `JAX_PLATFORMS= python -m pytest tests/test_warp_pallas.py`
+on a TPU host). CI-equivalent coverage on CPU comes from the pure-JAX warp
+parity tests in test_ops.py, which the kernel is verified against here.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas warp kernel needs a TPU"
+)
+
+
+@requires_tpu
+@pytest.mark.parametrize("shape", [(1, 64, 128, 3), (2, 100, 200, 3)])
+def test_pallas_warp_matches_xla(shape):
+    from superslomo_tpu.ops.warp import backward_warp
+    from superslomo_tpu.ops.warp_pallas import backward_warp_pallas
+
+    B, H, W, C = shape
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    flow = jnp.asarray((rng.standard_normal((B, H, W, 2)) * 7).astype(np.float32))
+    ref = np.asarray(backward_warp(img, flow))
+    out = np.asarray(backward_warp_pallas(img, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+@requires_tpu
+def test_pallas_warp_gradients():
+    from superslomo_tpu.ops.warp_pallas import backward_warp_pallas
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((1, 64, 128, 2), dtype=np.float32))
+    flow = jnp.asarray((rng.standard_normal((1, 64, 128, 2)) * 3).astype(np.float32))
+
+    def loss(f, im):
+        return jnp.sum(backward_warp_pallas(im, f) ** 2)
+
+    gf, gi = jax.grad(loss, argnums=(0, 1))(flow, img)
+    assert np.isfinite(np.asarray(gf)).all() and float(jnp.abs(gf).sum()) > 0
+    assert np.isfinite(np.asarray(gi)).all()
