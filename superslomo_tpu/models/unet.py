@@ -17,6 +17,11 @@ TPU-native re-design, not a port:
   (flow_computation.py:305-311, :318-323). Here the window axis is folded
   into the batch axis for the encoder and decoder — one big conv per layer —
   and only the bottleneck sees time (a ``lax.scan`` for CLSTM/CGRU).
+* The ENTIRE full-resolution segment (encoder block 1, decoder block 11,
+  fuse, final conv, the 2x2 pool after block 1 and the final 2x upsample)
+  executes in space-to-depth polyphase form — exact rewrites at half
+  resolution with 4x channels (ops/s2d.py) — because ≤32-channel convs at
+  720p otherwise fill ≤25% of the MXU and dominate wall time.
 * The cross-stage skip (stage1 bottleneck encoding → stage2 decoder,
   flow_interpolation.py:98-101, :224-231) is a plain channel concat.
 """
@@ -29,24 +34,30 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from superslomo_tpu.models.bottleneck import BiConvRNN
-from superslomo_tpu.models.layers import ConvLReLU, FinalConv
+from superslomo_tpu.models.layers import ConvLReLU
 from superslomo_tpu.ops import avg_pool_2x2, upsample_2x_bilinear
+from superslomo_tpu.ops.s2d import (
+    S2DConv,
+    S2DConvLReLU,
+    depth_to_space,
+    s2d_concat,
+    s2d_pool_mean,
+    s2d_upsample2x,
+    space_to_depth,
+)
 
-# (name_a, name_b, features, kernel) per encoder block.
-_ENCODER_BLOCKS = (
-    ("conv1a", "conv1b", 32, 7),
+# (name_a, name_b, features, kernel) per mid-resolution encoder block.
+_ENCODER_BLOCKS_MID = (
     ("conv2a", "conv2b", 64, 5),
     ("conv3a", "conv3b", 128, 3),
     ("conv4a", "conv4b", 256, 3),
     ("conv5a", "conv5b", 512, 3),
 )
 
-_DECODER_BLOCKS = (
-    ("conv7a", "conv7b", 512),
+_DECODER_BLOCKS_MID = (
     ("conv8a", "conv8b", 256),
     ("conv9a", "conv9b", 128),
     ("conv10a", "conv10b", 64),
-    ("conv11a", "conv11b", 32),
 )
 
 
@@ -84,11 +95,19 @@ class UNet(nn.Module):
             raise ValueError(f"H, W must be /32-divisible, got {H}x{W}")
 
         blk = lambda name, feats, k: ConvLReLU(feats, k, dtype=self.dtype, name=name)
+        sblk = lambda name, feats, k: S2DConvLReLU(feats, k, dtype=self.dtype, name=name)
 
-        # ---- encoder (window axis folded into batch) ----------------------
-        h = x.reshape(B * T, H, W, C)
+        # ---- encoder block 1 (full res, polyphase S2D) ---------------------
+        h = space_to_depth(x.reshape(B * T, H, W, C))
+        h = sblk("conv1a", 32, 7)(h)
+        skip1_s2d = sblk("conv1b", 32, 7)(h)  # S2D of the full-res conv1b out
+
+        # pool2 == mean of the 4 phases of conv1b's S2D form
+        h = s2d_pool_mean(skip1_s2d)  # (B*T, H/2, W/2, 32)
+
+        # ---- encoder blocks 2-5 (half res and below) -----------------------
         skips = []
-        for i, (na, nb, feats, k) in enumerate(_ENCODER_BLOCKS):
+        for i, (na, nb, feats, k) in enumerate(_ENCODER_BLOCKS_MID):
             if i > 0:
                 h = avg_pool_2x2(h)
             h = blk(na, feats, k)(h)
@@ -116,7 +135,7 @@ class UNet(nn.Module):
 
         encoding = h.reshape(B, T, H // 32, W // 32, 512) if self.emit_encoding else None
 
-        # ---- decoder (window axis still folded) ----------------------------
+        # ---- decoder blocks 7-10 (1/32 → 1/2 res) --------------------------
         if self.accept_encoding:
             if cross_encoding is None:
                 raise ValueError("this stage was built with accept_encoding=True")
@@ -126,14 +145,32 @@ class UNet(nn.Module):
         h = blk("conv7a", 512, 3)(h)
         h = blk("conv7b", 512, 3)(h)
 
-        for (na, nb, feats), skip in zip(_DECODER_BLOCKS[1:], reversed(skips[1:])):
+        for (na, nb, feats), skip in zip(_DECODER_BLOCKS_MID, reversed(skips[1:])):
             h = jnp.concatenate([h, skip], axis=-1)
             h = upsample_2x_bilinear(h)
             h = blk(na, feats, 3)(h)
             h = blk(nb, feats, 3)(h)
 
-        h = jnp.concatenate([h, skips[0]], axis=-1)
-        h = blk("fuse_conv", 32, 3)(h)
-        out = FinalConv(self.out_channels, dtype=self.dtype, name="final_conv")(h)
+        # ---- decoder block 11 + fuse + head (full res, polyphase S2D) ------
+        h = jnp.concatenate([h, skips[0]], axis=-1)  # conv10b + conv2b @ 1/2
+        h = s2d_upsample2x(h)  # S2D form of the full-res bilinear upsample
+        h = sblk("conv11a", 32, 3)(h)
+        h = sblk("conv11b", 32, 3)(h)
+        h = s2d_concat(h, skip1_s2d)
+        h = sblk("fuse_conv", 32, 3)(h)
+        out = _S2DHead(self.out_channels, dtype=self.dtype, name="final_conv")(h)
+        out = depth_to_space(out)
 
         return out.reshape(B, T, H, W, self.out_channels), encoding, carry_out
+
+
+class _S2DHead(nn.Module):
+    """Linear 3x3 head in S2D space (child scope 'conv' keeps the
+    final_conv/conv/kernel checkpoint path)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_s2d):
+        return S2DConv(self.features, 3, dtype=self.dtype, name="conv")(x_s2d)

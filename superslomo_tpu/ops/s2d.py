@@ -1,0 +1,191 @@
+"""Space-to-depth polyphase execution of the U-Net's full-resolution segment.
+
+The reference's full-resolution layers (block-1 7x7 convs at 32 channels,
+decoder block-11 / fuse / final 3x3 convs, the 2x2 pool after block 1 and
+the final bilinear upsample — scripts/models/flow_computation.py:36-43,
+:133-153) dominate wall time on TPU: at ≤32 output channels they fill ≤25%
+of the MXU's output lanes (measured 7 TFLOP/s bf16, 40% of the U-Net's
+time). This module runs that whole segment at HALF resolution with 4x the
+channels using exact polyphase identities:
+
+* conv:      y = convKxK(x)  ⟺  D2S( convK'xK'( S2D(x), remap(w) ) ),
+             K' = K//2 + 2 for K=7 (5), K' = 3 for K=3 — same taps scattered
+             into phase-indexed channel blocks; zero positions cost MACs
+             (25/16 for 7x7, 9/4 for 3x3) but utilization rises ~4x.
+* 2x2 pool:  avg_pool_2x2(x) = mean over the 4 phase channel groups of S2D(x).
+* 2x up:     S2D(upsample_2x(z)) = four cheap 2-tap blends of z — no resize.
+* concat:    channel concat in full-res space = per-phase concat in S2D space.
+
+Phase/channel layout is (r, s, c) — row phase, column phase, channel.
+Derivation for the conv remap: with output phase a and input phase r (rows),
+y[2m+a] = Σ_p w[p]·x[2m + a + p - P] and a + p - P = 2δ + r gives
+p = 2δ + r - a + P for kernel row kh = δ - δmin. Zero padding (-δmin, δmax)
+in S2D space reproduces the original SAME padding exactly.
+
+Parameters keep the original (K, K, Cin, Cout) HWIO shapes, so checkpoints
+and the PyTorch converter are untouched; remapping happens inside the traced
+computation and is differentiable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/2, W/2, 4C), channel layout (r, s, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, H/2, W/2, r, s, C
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space(y: jnp.ndarray) -> jnp.ndarray:
+    """(B, H/2, W/2, 4C) → (B, H, W, C), inverse of space_to_depth."""
+    B, Hh, Wh, C4 = y.shape
+    C = C4 // 4
+    y = y.reshape(B, Hh, Wh, 2, 2, C)
+    y = y.transpose(0, 1, 3, 2, 4, 5)  # B, H/2, r, W/2, s, C
+    return y.reshape(B, 2 * Hh, 2 * Wh, C)
+
+
+def s2d_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Channel concat of two S2D tensors that equals S2D(concat(full-res))."""
+    Ba, Ha, Wa, C4a = a.shape
+    _, _, _, C4b = b.shape
+    a4 = a.reshape(Ba, Ha, Wa, 4, C4a // 4)
+    b4 = b.reshape(Ba, Ha, Wa, 4, C4b // 4)
+    return jnp.concatenate([a4, b4], axis=-1).reshape(Ba, Ha, Wa, C4a + C4b)
+
+
+def s2d_pool_mean(x: jnp.ndarray) -> jnp.ndarray:
+    """avg_pool_2x2 of the full-res image, from its S2D form: the mean of
+    the 4 phase groups."""
+    B, Hh, Wh, C4 = x.shape
+    return x.reshape(B, Hh, Wh, 4, C4 // 4).mean(axis=3)
+
+
+def s2d_upsample2x(z: jnp.ndarray) -> jnp.ndarray:
+    """S2D(upsample_2x_bilinear(z)) computed directly: output phase p is a
+    (0.25, 0.75) 2-tap blend per axis with border clamping (matching
+    ops/resize.py)."""
+    def shifted(x, axis, direction):
+        n = x.shape[axis]
+        idx = [slice(None)] * x.ndim
+        if direction < 0:  # previous element, clamped at 0
+            idx[axis] = slice(0, n - 1)
+            body = x[tuple(idx)]
+            idx[axis] = slice(0, 1)
+            return jnp.concatenate([x[tuple(idx)], body], axis=axis)
+        idx[axis] = slice(1, n)  # next element, clamped at end
+        body = x[tuple(idx)]
+        idx[axis] = slice(n - 1, n)
+        return jnp.concatenate([body, x[tuple(idx)]], axis=axis)
+
+    rows = {
+        0: 0.25 * shifted(z, 1, -1) + 0.75 * z,  # out row 2m
+        1: 0.75 * z + 0.25 * shifted(z, 1, +1),  # out row 2m+1
+    }
+    phases = []
+    for a in (0, 1):
+        ra = rows[a]
+        phases.append(0.25 * shifted(ra, 2, -1) + 0.75 * ra)  # col phase 0
+        phases.append(0.75 * ra + 0.25 * shifted(ra, 2, +1))  # col phase 1
+    # layout (a, b, c)
+    return jnp.concatenate(phases, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _remap_plan(K: int):
+    """Static scatter plan for the polyphase kernel: list of
+    (kh, kw, r, s, a, b, p, q) plus (K', padding)."""
+    P = K // 2
+    entries = []
+    deltas = set()
+    for a in (0, 1):
+        for r in (0, 1):
+            for p in range(K):
+                alpha = a + p - P
+                if (alpha - r) % 2 == 0:
+                    deltas.add((alpha - r) // 2)
+    dmin, dmax = min(deltas), max(deltas)
+    Kp = dmax - dmin + 1
+    for a in (0, 1):
+        for r in (0, 1):
+            for d in range(dmin, dmax + 1):
+                p = 2 * d + r - a + P
+                if not 0 <= p < K:
+                    continue
+                for b in (0, 1):
+                    for s in (0, 1):
+                        for e in range(dmin, dmax + 1):
+                            q = 2 * e + s - b + P
+                            if not 0 <= q < K:
+                                continue
+                            entries.append(
+                                (d - dmin, e - dmin, r, s, a, b, p, q)
+                            )
+    return entries, Kp, (-dmin, dmax)
+
+
+def remap_kernel(w: jnp.ndarray) -> tuple[jnp.ndarray, tuple[int, int]]:
+    """(K, K, Cin, Cout) → ((K', K', 4Cin, 4Cout), (pad_lo, pad_hi))."""
+    K = w.shape[0]
+    cin, cout = w.shape[2], w.shape[3]
+    entries, Kp, pad = _remap_plan(K)
+    Wp = jnp.zeros((Kp, Kp, 4 * cin, 4 * cout), w.dtype)
+    for kh, kw, r, s, a, b, p, q in entries:
+        ci = (r * 2 + s) * cin
+        co = (a * 2 + b) * cout
+        Wp = Wp.at[kh, kw, ci : ci + cin, co : co + cout].set(w[p, q])
+    return Wp, pad
+
+
+class S2DConv(nn.Module):
+    """KxK same-padding conv with bias on an S2D tensor → S2D tensor.
+    Param shapes/names identical to nn.Conv's HWIO (kernel (K, K, Cin, Cout),
+    bias (Cout,)) so checkpoints port unchanged."""
+
+    features: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_s2d):
+        cin = x_s2d.shape[-1] // 4
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        Wp, pad = remap_kernel(kernel.astype(self.dtype))
+        Y = jax.lax.conv_general_dilated(
+            x_s2d.astype(self.dtype),
+            Wp,
+            window_strides=(1, 1),
+            padding=(pad, pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+        return Y + jnp.tile(bias.astype(self.dtype), 4)
+
+
+class S2DConvLReLU(nn.Module):
+    """Polyphase drop-in for ConvLReLU: S2D in, S2D out. Child scope 'conv'
+    keeps checkpoint paths identical."""
+
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_s2d):
+        y = S2DConv(self.features, self.kernel, dtype=self.dtype, name="conv")(x_s2d)
+        return nn.leaky_relu(y, negative_slope=0.1)
