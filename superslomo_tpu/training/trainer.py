@@ -119,7 +119,15 @@ class Trainer:
         )
         self.ckpt_dir = os.path.join(cfg.get("TRAIN", "CKPT_DIR"), expt_name)
         self.writer = writer
-        self.mesh = mesh if mesh is not None else make_mesh(n_spatial=1)
+        if mesh is None:
+            # data axis must divide the batch (the reference instead skips
+            # batches smaller than the GPU count, main.py:185-186)
+            import math
+
+            devices = jax.devices()
+            n_data = math.gcd(cfg.getint("TRAIN", "BATCH_SIZE"), len(devices))
+            mesh = make_mesh(n_data=n_data, n_spatial=1, devices=devices[:n_data])
+        self.mesh = mesh
 
         self.model = SuperSloMo(spec=self.spec)
         self.vgg = VGG16Features()
