@@ -31,7 +31,7 @@ log = logging.getLogger(__name__)
 
 
 class Evaluator:
-    def __init__(self, cfg: Config, params, mesh=None, batch_tile: Optional[int] = None):
+    def __init__(self, cfg: Config, params, mesh=None):
         self.cfg = cfg
         self.params = params
         self.dataset = cfg.get("DATA", "DATASET").upper()

@@ -116,6 +116,22 @@ def test_converter_rejects_unknown_keys():
         convert_unet_state_dict({"mystery.weight": np.zeros((4, 4, 3, 3), np.float32)})
 
 
+def test_converter_recurrent_bottleneck_names():
+    """ConvLSTM/GRU weights map to the BiConvRNN param layout
+    (conv6.{forward,reverse}_net.cell_list.{L}.conv → conv6/{fwd,rev}_l{L})."""
+    sd = {
+        "conv6.forward_net.cell_list.0.conv.weight": np.zeros((1024, 768, 3, 3), np.float32),
+        "conv6.forward_net.cell_list.0.conv.bias": np.zeros((1024,), np.float32),
+        "conv6.reverse_net.cell_list.1.conv.weight": np.ones((1024, 512, 3, 3), np.float32),
+        "conv6.reverse_net.cell_list.1.conv_can.weight": np.ones((256, 512, 3, 3), np.float32),
+    }
+    tree = convert_unet_state_dict(sd)
+    assert tree["conv6"]["fwd_l0"]["gates"]["kernel"].shape == (3, 3, 768, 1024)
+    assert "bias" in tree["conv6"]["fwd_l0"]["gates"]
+    assert tree["conv6"]["rev_l1"]["gates"]["kernel"].shape == (3, 3, 512, 1024)
+    assert tree["conv6"]["rev_l1"]["candidate"]["kernel"].shape == (3, 3, 512, 256)
+
+
 def test_native_checkpoint_roundtrip(tmp_path):
     params = {
         "params": {
