@@ -225,39 +225,61 @@ class Trainer:
             state = self.init_state(first)
             state = self.resume_if_configured(state)
 
-        step = state.step
-        params, opt_state = state.params, state.opt_state
-        for epoch in range(state.epoch, self.n_epochs + 1):
-            lr = self.lr_schedule(epoch)
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            if self.writer:
-                self.writer.add_scalars("Learning_Rate", {"TRAIN": lr}, step)
-            t0 = time.time()
-            for frames, targets, t in prefetch_to_device(iter(loader), sharding=data_sh):
-                step += 1
-                params, opt_state, loss_vec = self._train_step(
-                    params, opt_state, self.vgg_params,
-                    jnp.asarray(frames, jnp.float32),
-                    jnp.asarray(targets, jnp.float32),
-                    jnp.asarray(t, jnp.float32),
-                )
-                if self.writer and step % 10 == 0:
-                    lv = np.asarray(loss_vec)
-                    self.write_losses(lv, step, "TRAIN")
-                if self.writer and step % 100 == 0:
-                    self.write_image(params, frames, t, step, "TRAIN")
-                if step % 100 == 0:
-                    log.info("epoch %d step %d loss %.4f (%.2f s)",
-                             epoch, step, float(loss_vec[0]), time.time() - t0)
-                if max_steps is not None and step >= max_steps:
-                    state = TrainState(params, opt_state, epoch, step)
-                    self.save(state)
-                    return state
-            if epoch % self.save_every == 0:
-                self.save(TrainState(params, opt_state, epoch, step))
-        state = TrainState(params, opt_state, self.n_epochs, step)
-        self.save(state)
-        return state
+        # Preemption safety (absent in the reference, which only resumes
+        # from periodic saves, main.py:263-284): SIGTERM checkpoints the
+        # in-flight state before exit.
+        import signal
+
+        current = {"state": state}
+
+        def _on_sigterm(signum, frame):
+            log.warning("SIGTERM: checkpointing before exit")
+            self.save(current["state"])
+            raise SystemExit(143)
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # non-main thread
+            prev_handler = None
+
+        try:
+            step = state.step
+            params, opt_state = state.params, state.opt_state
+            for epoch in range(state.epoch, self.n_epochs + 1):
+                lr = self.lr_schedule(epoch)
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+                if self.writer:
+                    self.writer.add_scalars("Learning_Rate", {"TRAIN": lr}, step)
+                t0 = time.time()
+                for frames, targets, t in prefetch_to_device(iter(loader), sharding=data_sh):
+                    step += 1
+                    params, opt_state, loss_vec = self._train_step(
+                        params, opt_state, self.vgg_params,
+                        jnp.asarray(frames, jnp.float32),
+                        jnp.asarray(targets, jnp.float32),
+                        jnp.asarray(t, jnp.float32),
+                    )
+                    current["state"] = TrainState(params, opt_state, epoch, step)
+                    if self.writer and step % 10 == 0:
+                        lv = np.asarray(loss_vec)
+                        self.write_losses(lv, step, "TRAIN")
+                    if self.writer and step % 100 == 0:
+                        self.write_image(params, frames, t, step, "TRAIN")
+                    if step % 100 == 0:
+                        log.info("epoch %d step %d loss %.4f (%.2f s)",
+                                 epoch, step, float(loss_vec[0]), time.time() - t0)
+                    if max_steps is not None and step >= max_steps:
+                        state = TrainState(params, opt_state, epoch, step)
+                        self.save(state)
+                        return state
+                if epoch % self.save_every == 0:
+                    self.save(TrainState(params, opt_state, epoch, step))
+            state = TrainState(params, opt_state, self.n_epochs, step)
+            self.save(state)
+            return state
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
     def write_image(self, params, frames, t, step, split):
         """Periodic interpolated-image dump, denormalized (reference

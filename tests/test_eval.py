@@ -80,6 +80,29 @@ def test_visualizer_end_to_end(eval_cfg, tmp_path):
     assert img.shape == (60, 96, 3)
 
 
+def test_evaluator_ssmr_four_frames(eval_cfg, monkeypatch):
+    """SSM-R eval end-to-end: 4-frame windows, CLSTM bottleneck, fused
+    multi-t over the mid window."""
+    from superslomo_tpu.data import readers as R
+    from superslomo_tpu.data.augmentations import Compose, EvalPad, Normalize, ToFloatArray
+
+    def build_transform(self):
+        mean, std = self.cfg.pixel_mean(), self.cfg.pixel_std()
+        return Compose([Normalize(mean, std), ToFloatArray(),
+                        EvalPad(padding=(0, 0, 2, 2))])
+
+    monkeypatch.setattr(R.Reader, "build_transform", build_transform)
+
+    eval_cfg.set("TRAIN", "N_FRAMES", 4)
+    eval_cfg.set("STAGE1", "BOTTLENECK", "CLSTM")
+    eval_cfg.set("STAGE2", "BOTTLENECK", "CLSTM")
+    params = init_params(eval_cfg)
+    ev = Evaluator(eval_cfg, params)
+    results = ev.run(max_batches=1)
+    assert results["n_images"] > 0
+    assert np.isfinite(results["PSNR"])
+
+
 def test_flow_evaluator(tmp_path):
     """Synthetic Sintel EPE layout: clip pngs + .flo ground truths."""
     from superslomo_tpu.eval.evaluate_flow import evaluate_flow
