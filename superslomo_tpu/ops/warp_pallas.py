@@ -67,13 +67,20 @@ def _gather_row_chunk(rows: jnp.ndarray, idx: jnp.ndarray, j0: int):
     return acc
 
 
-def _warp_kernel(img_ref, u_ref, v_ref, out_ref, *, h_total: int, w_total: int):
-    """img_ref: full (Hpad, Wl) plane in VMEM, zero-padded _BAND rows top and
-    bottom (row y of the image lives at img_ref[y + _BAND]).
-    u/v/out blocks: (_HB, Wl), grid over row blocks."""
-    HB, Wl = out_ref.shape
+def _warp_kernel(*refs, h_total: int, w_total: int, n_chan: int):
+    """refs = (img_0..img_{C-1}, u, v, out_0..out_{C-1}).
+
+    img_c: full (Hpad, Wl) planes in VMEM, zero-padded _BAND rows top and
+    bottom (row y of the image lives at img[y + _BAND]). u/v/out blocks:
+    (_HB, Wl), grid over row blocks. All channels share one pass of index
+    math, flow loads, and d-loop control — only the gathers repeat per
+    channel."""
+    img_refs = refs[:n_chan]
+    u_ref, v_ref = refs[n_chan], refs[n_chan + 1]
+    out_refs = refs[n_chan + 2 :]
+    HB, Wl = out_refs[0].shape
     nseg = Wl // _LANES
-    dtype = out_ref.dtype
+    dtype = out_refs[0].dtype
     r0 = pl.program_id(0) * HB
 
     for k in range(nseg):
@@ -121,25 +128,27 @@ def _warp_kernel(img_ref, u_ref, v_ref, out_ref, *, h_total: int, w_total: int):
         j1 = min(nseg, k + _U_SEG + 1)
         lanes = slice(j0 * _LANES, j1 * _LANES)
 
-        out_ref[:, sl] = jnp.zeros((HB, _LANES), dtype)
+        for out_ref in out_refs:
+            out_ref[:, sl] = jnp.zeros((HB, _LANES), dtype)
 
         def body(i, carry):
             q = qlo + i
             base = pl.multiple_of(r0 + _BAND + 8 * q, 8)
-            blk = img_ref[pl.ds(base, HB + 8), lanes]
+            blks = [img_ref[pl.ds(base, HB + 8), lanes] for img_ref in img_refs]
             for s in range(8):
                 d = 8 * q + s
 
                 @pl.when((d >= dlo) & (d <= dhi))
                 def _(s=s, d=d):
-                    rows = jax.lax.slice_in_dim(blk, s, s + HB, axis=0)
-                    c0 = _gather_row_chunk(rows, x0c, j0)
-                    c1 = _gather_row_chunk(rows, x1c, j0)
                     m0 = (dfield == d).astype(dtype)
                     m1 = (dfield + 1 == d).astype(dtype)
-                    out_ref[:, sl] += m0 * (w00 * c0 + w01 * c1) + m1 * (
-                        w10 * c0 + w11 * c1
-                    )
+                    g0 = m0 * w00 + m1 * w10
+                    g1 = m0 * w01 + m1 * w11
+                    for blk, out_ref in zip(blks, out_refs):
+                        rows = jax.lax.slice_in_dim(blk, s, s + HB, axis=0)
+                        c0 = _gather_row_chunk(rows, x0c, j0)
+                        c1 = _gather_row_chunk(rows, x1c, j0)
+                        out_ref[:, sl] += g0 * c0 + g1 * c1
 
             return carry
 
@@ -150,9 +159,10 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _warp_plane(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp one (H, W) plane by (H, W, 2) flow."""
-    H, W = img.shape
+def _warp_image(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Warp one (H, W, C) image by (H, W, 2) flow — all channels in ONE
+    kernel so index math, flow loads, and loop control amortize."""
+    H, W, C = img.shape
     Wl = _round_up(W, _LANES)
     Hp = _round_up(H, _HB)
 
@@ -160,34 +170,37 @@ def _warp_plane(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     # rows from base ≤ (Hp - _HB) + _BAND + 8·ceil((_BAND+1)/8), so pad with
     # 16 extra rows beyond the band and round to the 8-sublane tile
     Hpad = _round_up(Hp + 2 * _BAND + 16, 8)
-    img_pad = jnp.pad(img, ((_BAND, Hpad - H - _BAND), (0, Wl - W)))
+    planes = [
+        jnp.pad(img[..., c], ((_BAND, Hpad - H - _BAND), (0, Wl - W)))
+        for c in range(C)
+    ]
     u = jnp.pad(flow[..., 0], ((0, Hp - H), (0, Wl - W)))
     v = jnp.pad(flow[..., 1], ((0, Hp - H), (0, Wl - W)))
 
-    out = pl.pallas_call(
-        functools.partial(_warp_kernel, h_total=H, w_total=W),
+    plane_spec = pl.BlockSpec((Hpad, Wl), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    block_spec = pl.BlockSpec((_HB, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_warp_kernel, h_total=H, w_total=W, n_chan=C),
         grid=(Hp // _HB,),
-        in_specs=[
-            pl.BlockSpec((Hpad, Wl), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_HB, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_HB, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_HB, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, Wl), img.dtype),
-    )(img_pad, u, v)
-    return out[:H, :W]
+        in_specs=[plane_spec] * C + [block_spec, block_spec],
+        out_specs=[block_spec] * C,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wl), img.dtype)] * C,
+    )(*planes, u, v)
+    return jnp.stack([o[:H, :W] for o in outs], axis=-1)
 
 
-# The kernel keeps the whole padded plane in VMEM; beyond this byte budget
-# (double-buffered input + blocks must fit in 16 MB) fall back to XLA.
-_VMEM_PLANE_BUDGET = 6_500_000
+# The kernel keeps the padded channel planes in VMEM. Budgets leave room for
+# double-buffered u/v/out blocks inside the 16 MB VMEM; beyond them fall
+# back to fewer channels per kernel, then to the XLA gather.
+_VMEM_MULTI_BUDGET = 12_000_000  # all C planes resident at once
+_VMEM_SINGLE_BUDGET = 6_500_000  # one plane resident (verified at 720p f32)
 
 
-def fits_vmem(h: int, w: int, itemsize: int = 4) -> bool:
+def fits_vmem(h: int, w: int, itemsize: int = 4, n_chan: int = 3) -> bool:
     Hpad = _round_up(_round_up(h, _HB) + 2 * _BAND + 16, 8)
     Wl = _round_up(w, _LANES)
-    return Hpad * Wl * itemsize <= _VMEM_PLANE_BUDGET
+    budget = _VMEM_SINGLE_BUDGET if n_chan == 1 else _VMEM_MULTI_BUDGET
+    return n_chan * Hpad * Wl * itemsize <= budget
 
 
 @jax.custom_vjp
@@ -196,15 +209,20 @@ def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     the |v| ≤ 128, |u| ≤ 128 band (see module docstring). Falls back to the
     XLA gather for planes too large to hold in VMEM (≳1080p f32)."""
     B, H, W, C = img.shape
-    if not fits_vmem(H, W, img.dtype.itemsize):
-        return warp_ref.backward_warp(img, flow)
-    flow = flow.astype(img.dtype)
+    if fits_vmem(H, W, img.dtype.itemsize, n_chan=C):
+        # all channels in one kernel: index math and flow loads amortize
+        flow = flow.astype(img.dtype)
+        return jax.vmap(_warp_image)(img, flow)
+    if fits_vmem(H, W, img.dtype.itemsize, n_chan=1):
+        # plane at a time (720p f32 territory)
+        flow = flow.astype(img.dtype)
 
-    def per_image(im, fl):  # (H, W, C), (H, W, 2)
-        planes = [_warp_plane(im[..., c], fl) for c in range(im.shape[-1])]
-        return jnp.stack(planes, axis=-1)
+        def per_image(im, fl):
+            planes = [_warp_image(im[..., c : c + 1], fl) for c in range(C)]
+            return jnp.concatenate(planes, axis=-1)
 
-    return jax.vmap(per_image)(img, flow)
+        return jax.vmap(per_image)(img, flow)
+    return warp_ref.backward_warp(img, flow)
 
 
 def _fwd(img, flow):
