@@ -17,6 +17,10 @@ import json
 import os
 import time
 
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_superslomo_bench")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
