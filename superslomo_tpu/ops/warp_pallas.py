@@ -203,25 +203,68 @@ def fits_vmem(h: int, w: int, itemsize: int = 4, n_chan: int = 3) -> bool:
     return n_chan * Hpad * Wl * itemsize <= budget
 
 
+# Column halo covering the kernel's horizontal reach: segments ±_U_SEG plus
+# the within-segment offset (≤127) and the x0+1 tap.
+_HALO = (_U_SEG + 1) * _LANES
+
+
+def _warp_image_colsplit(img: jnp.ndarray, flow: jnp.ndarray, n_splits: int):
+    """Warp a wide (H, W, C) image as column slices with halos.
+
+    The gather for output columns [s0, s1) reads source columns within
+    ±_HALO, so each slice warps independently: the source slice is the
+    zero-padded window [s0-_HALO, s1+_HALO) and the flow is shifted by the
+    output-to-slice column offset. Zero padding beyond the true image edge
+    reproduces grid_sample's zeros semantics (gathers there return 0).
+    """
+    H, W, C = img.shape
+    ws = -(-W // n_splits)
+    right = _HALO + n_splits * ws - W
+    pad_img = jnp.pad(img, ((0, 0), (_HALO, right), (0, 0)))
+    # flow for halo/overhang columns is irrelevant (their outputs are
+    # cropped) — zero-pad it with the same geometry
+    pad_flow = jnp.pad(flow, ((0, 0), (_HALO, right), (0, 0)))
+    outs = []
+    for i in range(n_splits):
+        s0 = i * ws  # padded-coordinate start of this slice's window
+        src = jax.lax.slice_in_dim(pad_img, s0, s0 + ws + 2 * _HALO, axis=1)
+        fl = jax.lax.slice_in_dim(pad_flow, s0, s0 + ws + 2 * _HALO, axis=1)
+        # slice-local x' samples src[y+v, x'+u] = img[y+v, (s0-_HALO+x')+u]:
+        # exactly the global warp; zeros in the padded halo reproduce the
+        # out-of-image zeros semantics
+        warped = [
+            _warp_image(src[..., c : c + 1], fl) for c in range(C)
+        ]
+        out = jnp.concatenate(warped, axis=-1)
+        outs.append(out[:, _HALO : _HALO + ws])
+    return jnp.concatenate(outs, axis=1)[:, :W]
+
+
 @jax.custom_vjp
 def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) x (B, H, W, 2) → (B, H, W, C); grid_sample parity within
     the |v| ≤ 128, |u| ≤ 128 band (see module docstring). Falls back to the
     XLA gather for planes too large to hold in VMEM (≳1080p f32)."""
     B, H, W, C = img.shape
+    flow = flow.astype(img.dtype)
     if fits_vmem(H, W, img.dtype.itemsize, n_chan=C):
         # all channels in one kernel: index math and flow loads amortize
-        flow = flow.astype(img.dtype)
         return jax.vmap(_warp_image)(img, flow)
     if fits_vmem(H, W, img.dtype.itemsize, n_chan=1):
         # plane at a time (720p f32 territory)
-        flow = flow.astype(img.dtype)
-
         def per_image(im, fl):
             planes = [_warp_image(im[..., c : c + 1], fl) for c in range(C)]
             return jnp.concatenate(planes, axis=-1)
 
         return jax.vmap(per_image)(img, flow)
+    # wide frames (1080p+): split columns with a halo covering the kernel's
+    # horizontal reach, warping each slice independently
+    for n_splits in (2, 4, 8):
+        ws = -(-W // n_splits)
+        if fits_vmem(H, ws + 2 * _HALO, img.dtype.itemsize, n_chan=1):
+            return jax.vmap(
+                lambda im, fl: _warp_image_colsplit(im, fl, n_splits)
+            )(img, flow)
     return warp_ref.backward_warp(img, flow)
 
 
