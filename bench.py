@@ -19,7 +19,7 @@ import time
 
 import os as _os
 
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_superslomo_bench")
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import jax
 import jax.numpy as jnp
