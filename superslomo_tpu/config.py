@@ -33,6 +33,9 @@ _DEFAULTS = {
     ("TRAIN", "LAMBDA_R"): "60",
     ("TRAIN", "LAMBDA_W"): "10",
     ("TRAIN", "LAMBDA_P"): "20",
+    # Training with random VGG features can never reach published quality
+    # (perceptual loss, reference losses.py:12-41); require explicit opt-in.
+    ("TRAIN", "ALLOW_RANDOM_VGG"): "FALSE",
     ("TRAIN", "N_FRAMES"): "2",
     ("TRAIN", "CKPT_DIR"): "checkpoints",
     ("VAL", "BATCH_SIZE"): "8",

@@ -15,12 +15,17 @@ import numpy as np
 
 
 class Compose:
+    """Transform pipeline. Stochastic transforms (those with
+    ``stochastic = True``) receive the per-item ``rng`` so concurrent loader
+    threads never share a generator (NumPy Generators are not thread-safe;
+    the reference reseeds per worker process instead, default_reader.py:306)."""
+
     def __init__(self, transforms: Sequence):
         self.transforms = list(transforms)
 
-    def __call__(self, x):
+    def __call__(self, x, rng: np.random.Generator | None = None):
         for t in self.transforms:
-            x = t(x)
+            x = t(x, rng=rng) if getattr(t, "stochastic", False) else t(x)
         return x
 
 
@@ -28,19 +33,22 @@ class RandomCrop:
     """Same random crop across all frames of the sample
     (augmentations.py:67-92)."""
 
+    stochastic = True
+
     def __init__(self, size, rng: np.random.Generator | None = None):
         if isinstance(size, numbers.Number):
             size = (int(size), int(size))
         self.size = size
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, frames: np.ndarray) -> np.ndarray:
+    def __call__(self, frames: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
+        rng = rng if rng is not None else self.rng
         n, h, w, c = frames.shape
         th, tw = self.size
         if (h, w) == (th, tw):
             return frames
-        y = int(self.rng.integers(0, h - th))
-        x = int(self.rng.integers(0, w - tw))
+        y = int(rng.integers(0, h - th))
+        x = int(rng.integers(0, w - tw))
         return frames[:, y : y + th, x : x + tw, :]
 
 
@@ -49,19 +57,22 @@ class RandomMirrorRotate:
     (augmentations.py:39-64). Present for completeness; the reference ships
     it commented out of every pipeline (default_reader.py:280)."""
 
+    stochastic = True
+
     def __init__(self, max_degrees: float = 5.0, rng: np.random.Generator | None = None):
         self.max_degrees = max_degrees
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, frames: np.ndarray) -> np.ndarray:
+    def __call__(self, frames: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
         import cv2
 
-        if self.rng.integers(0, 2) == 1:
+        rng = rng if rng is not None else self.rng
+        if rng.integers(0, 2) == 1:
             frames = frames[:, :, ::-1, :]
         n, h, w, _ = frames.shape
-        cx = int(self.rng.integers(0, w))
-        cy = int(self.rng.integers(0, h))
-        theta = float(self.rng.uniform(-self.max_degrees, self.max_degrees))
+        cx = int(rng.integers(0, w))
+        cy = int(rng.integers(0, h))
+        theta = float(rng.uniform(-self.max_degrees, self.max_degrees))
         M = cv2.getRotationMatrix2D((cx, cy), theta, 1)
         out = np.empty_like(frames)
         for i in range(n):
@@ -73,6 +84,8 @@ class ResizeCrop:
     """Resize by a ratio then random-crop (augmentations.py:95-138; present
     in the reference but unused by its shipped pipelines)."""
 
+    stochastic = True
+
     def __init__(self, crop_imh, crop_imw, resize_ratio=0.5,
                  rng: np.random.Generator | None = None):
         self.crop_imh = crop_imh
@@ -80,9 +93,10 @@ class ResizeCrop:
         self.ratio = resize_ratio
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, frames: np.ndarray) -> np.ndarray:
+    def __call__(self, frames: np.ndarray, rng: np.random.Generator | None = None) -> np.ndarray:
         import cv2
 
+        rng = rng if rng is not None else self.rng
         n, h, w, c = frames.shape
         nh, nw = int(h * self.ratio), int(w * self.ratio)
         if nh < self.crop_imh or nw < self.crop_imw:
@@ -91,8 +105,8 @@ class ResizeCrop:
         out = np.empty((n, nh, nw, c), dtype=frames.dtype)
         for i in range(n):
             out[i] = cv2.resize(frames[i], (nw, nh)).reshape(nh, nw, c)
-        y = int(self.rng.integers(0, nh - self.crop_imh + 1))
-        x = int(self.rng.integers(0, nw - self.crop_imw + 1))
+        y = int(rng.integers(0, nh - self.crop_imh + 1))
+        x = int(rng.integers(0, nw - self.crop_imw + 1))
         return out[:, y : y + self.crop_imh, x : x + self.crop_imw]
 
 

@@ -33,7 +33,15 @@ def _collate(samples: Sequence[tuple]) -> tuple:
 
 
 class Loader:
-    """Iterable over shuffled, collated batches of a Reader."""
+    """Iterable over shuffled, collated batches of a Reader.
+
+    Determinism contract: every item draws from its own child generator
+    seeded by ``(seed, epoch, index)``, so batches are bit-identical for any
+    ``num_threads`` (NumPy Generators are not thread-safe; sharing one across
+    pool workers corrupts the reversal/crop statistics). The reference's
+    analogue is per-DataLoader-worker process reseeding
+    (default_reader.py:306); per-item spawning is stronger — thread-count
+    independent."""
 
     def __init__(self, reader, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_threads: int = 4,
@@ -45,6 +53,7 @@ class Loader:
         self.num_threads = max(1, num_threads)
         self.seed = seed
         self._epoch = 0
+        self._takes_rng = None  # lazily probed: reader.__getitem__(idx, rng=)
 
     def __len__(self):
         n = len(self.reader)
@@ -52,11 +61,26 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _fetch(self, idx: int, epoch: int):
+        if self._takes_rng is None:
+            import inspect
+
+            try:
+                sig = inspect.signature(self.reader.__getitem__)
+                self._takes_rng = "rng" in sig.parameters
+            except (TypeError, ValueError):
+                self._takes_rng = False
+        if not self._takes_rng:
+            return self.reader[idx]
+        rng = np.random.default_rng([self.seed, epoch, idx])
+        return self.reader.__getitem__(idx, rng=rng)
+
     def __iter__(self) -> Iterator[tuple]:
         n = len(self.reader)
         order = np.arange(n)
         if self.shuffle:
-            np.random.default_rng(self.seed + self._epoch).shuffle(order)
+            np.random.default_rng([self.seed, self._epoch]).shuffle(order)
+        epoch = self._epoch
         self._epoch += 1
 
         batches = [
@@ -68,7 +92,7 @@ class Loader:
 
         if self.num_threads == 1:
             for b in batches:
-                yield _collate([self.reader[int(i)] for i in b])
+                yield _collate([self._fetch(int(i), epoch) for i in b])
             return
 
         with ThreadPoolExecutor(self.num_threads) as pool:
@@ -77,7 +101,7 @@ class Loader:
             it = iter(batches)
 
             def submit(b):
-                return [pool.submit(self.reader.__getitem__, int(i)) for i in b]
+                return [pool.submit(self._fetch, int(i), epoch) for i in b]
 
             for _ in range(2):
                 b = next(it, None)

@@ -75,6 +75,7 @@ class Reader:
         self.dataset_name = cfg.get("DATA", "DATASET")
         self.interp_factor = 32 if self.dataset_name == "SINTEL_HFR" else 8
         self.n_frames = cfg.getint("TRAIN", "N_FRAMES")
+        self.window_length = cfg.getint("DATA", "WINDOW_LENGTH")
         self.reqd_images = REQD_IMAGES[self.n_frames]
         self.t_sample = cfg.get("DATALOADER", "T_SAMPLE")
         self.clips: list = []
@@ -95,8 +96,15 @@ class Reader:
     def __len__(self):
         return len(self.clips)
 
-    def __getitem__(self, idx: int):
-        return self.get_inference_item(idx) if self.eval_mode else self.get_train_item(idx)
+    def __getitem__(self, idx: int, rng: np.random.Generator | None = None):
+        """``rng``: per-item generator (the Loader spawns one per (seed,
+        epoch, index)); falls back to the shared self.rng for direct
+        single-threaded use. NumPy Generators are not thread-safe, so
+        concurrent loader threads must never share one — the reference's
+        analogue is per-worker-process reseeding (default_reader.py:306)."""
+        if self.eval_mode:
+            return self.get_inference_item(idx)
+        return self.get_train_item(idx, rng=rng)
 
     # -- sample IO -----------------------------------------------------------
     def read_sample(self, img_paths: Sequence[str], indexes: Sequence[int]) -> np.ndarray:
@@ -122,17 +130,26 @@ class Reader:
         return frames
 
     # -- train sampling --------------------------------------------------------
-    def get_random_window_in_clip(self, img_paths: Sequence[str]) -> Sequence[str]:
-        start = int(self.rng.integers(0, len(img_paths) - self.reqd_images + 1))
-        return img_paths[start : start + self.reqd_images]
+    def get_random_window_in_clip(
+        self, img_paths: Sequence[str], rng: np.random.Generator
+    ) -> Sequence[str]:
+        from superslomo_tpu.utils.validators import check_clip_window
 
-    def get_train_item_indexes(self):
+        start = int(rng.integers(0, len(img_paths) - self.reqd_images + 1))
+        window = img_paths[start : start + self.reqd_images]
+        # reference validators.py:30-38 (clip lists come from make_clips with
+        # a fixed per-entry length; a mismatch means a stale DATA section)
+        check_clip_window(len(img_paths), self.window_length,
+                          self.reqd_images, len(window))
+        return window
+
+    def get_train_item_indexes(self, rng: np.random.Generator):
         """(input indexes, target indexes in clip, sampled t indexes 1..7)
         (default_reader.py:153-180)."""
         assert self.interp_factor == 8, "training expects 240FPS input"
         input_idx = [i * self.interp_factor for i in range(self.n_frames)]
         if self.t_sample == "RANDOM":
-            sampled = [int(self.rng.integers(1, self.interp_factor))] * (self.n_frames - 1)
+            sampled = [int(rng.integers(1, self.interp_factor))] * (self.n_frames - 1)
         elif self.t_sample == "MIDDLE":
             sampled = [self.interp_factor // 2] * (self.n_frames - 1)
         else:
@@ -140,17 +157,18 @@ class Reader:
         target_idx = [t + i * self.interp_factor for i, t in enumerate(sampled)]
         return input_idx, target_idx, sampled
 
-    def get_train_item(self, idx: int):
+    def get_train_item(self, idx: int, rng: np.random.Generator | None = None):
+        rng = rng if rng is not None else self.rng
         img_paths = self.clips[idx]
         if self.dataset_name in ("ADOBE", "NFS") or (
             self.dataset_name == "ALL" and len(img_paths) > self.reqd_images
         ):
-            img_paths = self.get_random_window_in_clip(img_paths)
-        if self.rng.integers(0, 2) == 1:  # 50% temporal reversal
+            img_paths = self.get_random_window_in_clip(img_paths, rng)
+        if rng.integers(0, 2) == 1:  # 50% temporal reversal
             img_paths = img_paths[::-1]
-        input_idx, target_idx, sampled = self.get_train_item_indexes()
+        input_idx, target_idx, sampled = self.get_train_item_indexes(rng)
         sample = self.read_sample(img_paths, list(input_idx) + list(target_idx))
-        sample = self.transform(sample)
+        sample = self.transform(sample, rng=rng)
         inputs = sample[: self.n_frames]
         targets = sample[self.n_frames :]
         t_interp = np.asarray(sampled, dtype=np.float32) / 8.0  # (T-1,)
@@ -275,10 +293,10 @@ class VimeoReader(Reader):
                 self.cfg.getint(self.split, "CROP_IMW"))
         return Compose([RandomCrop(crop, rng=self.rng), Normalize(mean, std), ToFloatArray()])
 
-    def get_train_item_indexes(self):
+    def get_train_item_indexes(self, rng: np.random.Generator):
         """Septuplet index tables (vimeo.py:79-115): inputs from {0,2,4,6},
         targets from {1,3,5}, edges replicated for n_frames=4; t fixed 4/8."""
-        choice = int(self.rng.choice([1, 3, 5]))
+        choice = int(rng.choice([1, 3, 5]))
         if self.n_frames == 2:
             return [choice - 1, choice + 1], [choice], [4]
         if self.n_frames == 4:
@@ -291,13 +309,14 @@ class VimeoReader(Reader):
             return tr, tg, [4, 4, 4]
         raise ValueError("Vimeo supports 2 or 4 frames")
 
-    def get_train_item(self, idx: int):
+    def get_train_item(self, idx: int, rng: np.random.Generator | None = None):
+        rng = rng if rng is not None else self.rng
         img_paths = self.clips[idx]
-        if self.rng.integers(0, 2) == 1:
+        if rng.integers(0, 2) == 1:
             img_paths = img_paths[::-1]
-        input_idx, target_idx, sampled = self.get_train_item_indexes()
+        input_idx, target_idx, sampled = self.get_train_item_indexes(rng)
         sample = self.read_sample(img_paths, list(input_idx) + list(target_idx))
-        sample = self.transform(sample)
+        sample = self.transform(sample, rng=rng)
         return (
             sample[: self.n_frames],
             sample[self.n_frames :],
@@ -363,9 +382,9 @@ class CombinedReader(Reader):
             for i in range(len(r.clips))
         ]
 
-    def __getitem__(self, idx):
+    def __getitem__(self, idx, rng: np.random.Generator | None = None):
         name, sub = self.clips[idx]
-        return self.readers[name][sub]
+        return self.readers[name].__getitem__(sub, rng=rng)
 
 
 class SintelFlowReader:
@@ -402,9 +421,10 @@ class SintelFlowReader:
     def __len__(self):
         return len(self.samples)
 
-    def __getitem__(self, idx):
+    def __getitem__(self, idx, rng: np.random.Generator | None = None):
         import cv2
 
+        del rng  # deterministic reader
         paths, flow_path = self.samples[idx]
         frames = np.stack(
             [cv2.imread(p)[..., ::-1].astype(np.float32) for p in paths]
@@ -447,4 +467,5 @@ def get_dataset(cfg, split: str, rng: np.random.Generator | None = None):
         shuffle=not reader.eval_mode,
         drop_last=not reader.eval_mode,
         num_threads=cfg.getint("DATALOADER", "N_WORKERS"),
+        seed=cfg.getint("SEED", "VALUE"),
     )

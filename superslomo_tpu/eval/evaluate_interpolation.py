@@ -71,7 +71,14 @@ class Evaluator:
     # ------------------------------------------------------------------ #
     def to_uint8(self, batch: np.ndarray) -> np.ndarray:
         """Crop the /32 pad, denormalize, uint8
-        (evaluate_interpolation_results.py:143-163)."""
+        (evaluate_interpolation_results.py:143-163).
+
+        Deliberately NO clipping before the uint8 cast: the reference casts
+        unclipped (:163), so out-of-range predictions wrap — and published
+        PSNR/SSIM/IE numbers bake that in. Metric parity requires reproducing
+        it. Human-viewable output is different: the visualizer clips
+        (eval/visualize.py) because wraparound artifacts are visually wrong.
+        Metrics = wrap (parity); renderings = clip (quality)."""
         batch = batch[
             :,
             self.H_START : self.H_START + self.H_IN,
@@ -85,6 +92,10 @@ class Evaluator:
         score (evaluate_interpolation_results.py:110-141)."""
         out = self._step(self.params, jnp.asarray(frames, jnp.float32))
         out = np.asarray(out)  # (B, n_t, H, W, 3)
+        # reference validators.py:98-105
+        from superslomo_tpu.utils.validators import check_eval_result_count
+
+        check_eval_result_count(out.shape[1], self.interp_factor, self.dataset)
 
         preds, gts = [], []
         for i, n in enumerate(np.asarray(n_avail).tolist()):

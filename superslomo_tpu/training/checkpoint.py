@@ -166,6 +166,80 @@ def convert_torch_checkpoint(path: str) -> dict:
     return {"params": out}
 
 
+def _replace_adam_state(opt_state, mu, nu, count):
+    """Walk an optax state pytree and substitute every ScaleByAdamState's
+    moments (there is exactly one in adam; inject_hyperparams nests it)."""
+    import optax
+
+    if isinstance(opt_state, optax.ScaleByAdamState):
+        return opt_state._replace(
+            count=jnp.asarray(count, jnp.int32),
+            mu=jax.tree.map(lambda t, v: jnp.asarray(v, t.dtype), opt_state.mu, mu),
+            nu=jax.tree.map(lambda t, v: jnp.asarray(v, t.dtype), opt_state.nu, nu),
+        )
+    if isinstance(opt_state, tuple) and hasattr(opt_state, "_fields"):  # NamedTuple
+        return type(opt_state)(
+            *(_replace_adam_state(v, mu, nu, count) for v in opt_state)
+        )
+    if isinstance(opt_state, (tuple, list)):
+        return type(opt_state)(_replace_adam_state(v, mu, nu, count) for v in opt_state)
+    if isinstance(opt_state, dict):
+        return {k: _replace_adam_state(v, mu, nu, count) for k, v in opt_state.items()}
+    return opt_state
+
+
+def convert_torch_opt_state(path: str, params_template: dict, opt_state_template):
+    """Reference Adam-state resume (main.py:263-284): map a .pt checkpoint's
+    ``self.optimizer`` moments onto this framework's optax adam state.
+
+    The torch Adam state_dict indexes moments by position in the
+    ``model.parameters()`` order the optimizer was built over
+    (main.py:255-257). For the reference FullModel that order is stage1's
+    state_dict keys followed by stage2's, so each index maps to a named key,
+    which maps through the same name/layout conversion as the weights
+    (OIHW → HWIO). Only the both-stages-trainable case is supported — a
+    frozen stage shifts the indices, and the reference itself never resumes
+    the optimizer of a frozen stage (main.py:263-271). Raises loudly on any
+    count mismatch rather than guessing.
+
+    :returns: (opt_state, start_epoch)
+    """
+    import torch  # lazy: conversion-time only
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if "self.optimizer" not in blob:
+        raise KeyError(f"{path} has no 'self.optimizer' state (keys: {list(blob)})")
+    torch_state = blob["self.optimizer"]["state"]
+
+    ordered: list[tuple[int, str]] = []
+    for n in (1, 2):
+        sd = blob[f"stage{n}_state_dict"]
+        ordered += [(n, k) for k in sd if not k.endswith("num_batches_tracked")]
+    if len(torch_state) != len(ordered):
+        raise ValueError(
+            f"optimizer has {len(torch_state)} param states but the model has "
+            f"{len(ordered)} params — was a stage frozen when this checkpoint "
+            "was written? Frozen-stage optimizer resume is not supported "
+            "(neither does the reference resume it, main.py:263-271)."
+        )
+
+    mu_sd: Dict[int, Dict[str, np.ndarray]] = {1: {}, 2: {}}
+    nu_sd: Dict[int, Dict[str, np.ndarray]] = {1: {}, 2: {}}
+    steps = []
+    for i, (n, key) in enumerate(ordered):
+        entry = torch_state[i]
+        mu_sd[n][key] = entry["exp_avg"].numpy()
+        nu_sd[n][key] = entry["exp_avg_sq"].numpy()
+        steps.append(int(entry["step"]))
+    count = max(steps) if steps else 0
+
+    mu = {"params": {f"stage{n}": convert_unet_state_dict(mu_sd[n]) for n in (1, 2)}}
+    nu = {"params": {f"stage{n}": convert_unet_state_dict(nu_sd[n]) for n in (1, 2)}}
+    del params_template  # structure is implied by the template opt state
+    opt_state = _replace_adam_state(opt_state_template, mu, nu, count)
+    return opt_state, max(int(blob.get("epoch", 1)), 1)
+
+
 def convert_vgg16_state_dict(path: str, out_path: str):
     """torchvision vgg16 state_dict (.pt/.pth) → .npz consumed by
     models/vgg.py:init_vgg_params."""

@@ -52,32 +52,12 @@ def step_lr(base_lr: float, decay: float, period: float):
     return schedule
 
 
-def freeze_mask(params, spec: ModelSpec):
-    """optax mask: True = trainable. Stage freezing replaces the reference's
-    requires_grad filtering (superslomo_r.py:73-88, main.py:255-257)."""
-
-    def is_trainable(path):
-        top = path[0] if path else ""
-        if top == "stage1":
-            return not spec.stage1_freeze
-        if top == "stage2":
-            return not spec.stage2_freeze
-        return True
-
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def mask_tree(tree, prefix=()):
-        if isinstance(tree, dict):
-            return {k: mask_tree(v, prefix + (k,)) for k, v in tree.items()}
-        return is_trainable(prefix)
-
-    del flat
-    return mask_tree(params)
-
-
 def make_optimizer(spec: ModelSpec, learning_rate: float):
-    """Adam with injected lr (so the epoch schedule updates without
-    recompiles) and frozen-stage masking."""
+    """Adam with injected lr so the epoch schedule updates without
+    recompiles. Stage freezing is enforced by ``apply_freeze`` zeroing
+    frozen-stage gradients before the update (the reference instead filters
+    params by requires_grad, main.py:255-257)."""
+    del spec  # freezing lives in apply_freeze, not the optimizer
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
     return tx
 
@@ -134,13 +114,26 @@ class Trainer:
         vgg_path = vgg_weights
         if vgg_path is None and cfg.has("TRAIN", "VGG_WEIGHTS"):
             vgg_path = cfg.get("TRAIN", "VGG_WEIGHTS") or None
-        self.vgg_params = init_vgg_params(vgg_path)
-        if vgg_path is None:
-            log.warning(
-                "No pretrained VGG16 weights configured (TRAIN.VGG_WEIGHTS) — "
-                "perceptual loss uses deterministic random features. "
-                "Published-quality training requires the pretrained file."
+        if vgg_path is None and self.weights.lambda_p != 0:
+            # Random VGG features train "fine" (finite loss) but can never
+            # reach published quality — hard-fail unless explicitly allowed.
+            allow = cfg.has("TRAIN", "ALLOW_RANDOM_VGG") and cfg.getboolean(
+                "TRAIN", "ALLOW_RANDOM_VGG"
             )
+            if not allow:
+                raise ValueError(
+                    "No pretrained VGG16 weights configured (TRAIN.VGG_WEIGHTS) "
+                    "but LAMBDA_P != 0: the perceptual loss would use random "
+                    "features and silently cap quality. Provide converted "
+                    "torchvision weights (cli/convert_checkpoint.py --vgg) or "
+                    "set TRAIN.ALLOW_RANDOM_VGG=TRUE to opt in for smoke runs."
+                )
+            log.warning(
+                "TRAIN.ALLOW_RANDOM_VGG=TRUE — perceptual loss uses "
+                "deterministic random features. Published-quality training "
+                "requires the pretrained file."
+            )
+        self.vgg_params = init_vgg_params(vgg_path)
 
         # The Pallas warp kernel has no SPMD partitioning rules yet; the
         # sharded train step keeps the XLA gather warp (see ops.set_pallas_warp).
@@ -312,7 +305,9 @@ class Trainer:
 
     def resume_if_configured(self, state: TrainState) -> TrainState:
         """Resume optimizer/schedule/epoch when a stage is loaded and not
-        frozen (main.py:263-284)."""
+        frozen (main.py:263-284). Native checkpoint dirs restore the full
+        optax state; reference ``.pt`` files restore Adam moments through
+        the torch-state converter."""
         cfg = self.cfg
         for n in (1, 2):
             if cfg.getboolean(f"STAGE{n}", "LOADPREV") and not cfg.getboolean(
@@ -326,4 +321,14 @@ class Trainer:
                     epoch = max(int(meta.get("epoch", 1)), 1)
                     log.info("Resuming from %s at epoch %s", path, epoch)
                     return TrainState(params, opt_state, epoch, int(meta.get("step", 0)))
+                if path and os.path.isfile(path) and path.endswith(".pt"):
+                    try:
+                        opt_state, epoch = ckpt.convert_torch_opt_state(
+                            path, state.params, state.opt_state
+                        )
+                    except KeyError as e:  # weights-only .pt: warm-start only
+                        log.info("No optimizer state in %s (%s); fresh optimizer", path, e)
+                        return state
+                    log.info("Resuming Adam state from torch %s at epoch %s", path, epoch)
+                    return TrainState(state.params, opt_state, epoch, state.step)
         return state

@@ -37,3 +37,33 @@ def check_eval_dims(h: int, w: int) -> None:
     """The U-Net needs /32-divisible spatial dims."""
     if h % 32 or w % 32:
         raise ValueError(f"H, W must be divisible by 32; got {h}x{w}")
+
+
+def check_clip_window(
+    n_paths: int, window_length: int, reqd_images: int, n_selected: int
+) -> None:
+    """Clip-window-length contract for random-window sampling (reference
+    validators.py:30-38): the clip list entry must match the configured
+    DATA.WINDOW_LENGTH, hold at least reqd_images frames, and the selected
+    window must be exactly reqd_images long."""
+    if n_paths != window_length:
+        raise ValueError(
+            f"clip has {n_paths} frames but DATA.WINDOW_LENGTH={window_length}"
+        )
+    if n_paths < reqd_images:
+        raise ValueError(f"clip too short: {n_paths} < reqd_images={reqd_images}")
+    if n_selected != reqd_images:
+        raise ValueError(
+            f"incorrect length of input sequence: {n_selected} != {reqd_images}"
+        )
+
+
+def check_eval_result_count(n_outputs: int, interp_factor: int, dataset: str) -> None:
+    """Evaluation-interpolation result count (reference validators.py:98-105):
+    every non-Vimeo eval batch must produce interp_factor-1 interpolated
+    frames per window."""
+    if dataset != "VIMEO" and n_outputs != interp_factor - 1:
+        raise ValueError(
+            f"wrong number of interpolation outputs: {n_outputs} != "
+            f"{interp_factor - 1}"
+        )

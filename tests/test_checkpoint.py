@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from superslomo_tpu.models.unet import UNet
 from superslomo_tpu.training.checkpoint import (
+    convert_torch_opt_state,
     convert_unet_state_dict,
     load_checkpoint,
     save_checkpoint,
@@ -130,6 +131,74 @@ def test_converter_recurrent_bottleneck_names():
     assert "bias" in tree["conv6"]["fwd_l0"]["gates"]
     assert tree["conv6"]["rev_l1"]["gates"]["kernel"].shape == (3, 3, 512, 1024)
     assert tree["conv6"]["rev_l1"]["candidate"]["kernel"].shape == (3, 3, 512, 256)
+
+
+def test_torch_optimizer_state_conversion(tmp_path):
+    """Adam moments from a reference-format .pt resume into the optax state
+    (main.py:263-284): positional param order = stage1 keys then stage2 keys,
+    exp_avg/exp_avg_sq transposed like the weights."""
+    import optax
+
+    torch.manual_seed(0)
+    stage1 = nn.Sequential()
+    stage1.add_module("conv1a", conv_block(6, 4, 3))
+    stage2 = nn.Sequential()
+    stage2.add_module("fuse_conv", conv_block(4, 4, 3))
+    opt = torch.optim.Adam(list(stage1.parameters()) + list(stage2.parameters()), lr=1e-3)
+    for _ in range(3):
+        opt.zero_grad()
+        loss = stage1(torch.randn(1, 6, 8, 8)).square().mean() + stage2(
+            torch.randn(1, 4, 8, 8)
+        ).abs().mean()
+        loss.backward()
+        opt.step()
+
+    blob = {
+        "epoch": 5,
+        "stage1_state_dict": stage1.state_dict(),
+        "stage2_state_dict": stage2.state_dict(),
+        "self.optimizer": opt.state_dict(),
+        "scheduler": {"last_epoch": 5},
+    }
+    path = str(tmp_path / "ref.pt")
+    torch.save(blob, path)
+
+    params = {
+        "params": {
+            "stage1": convert_unet_state_dict(
+                {k: v.numpy() for k, v in stage1.state_dict().items()}
+            ),
+            "stage2": convert_unet_state_dict(
+                {k: v.numpy() for k, v in stage2.state_dict().items()}
+            ),
+        }
+    }
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    template = tx.init(params)
+
+    opt_state, epoch = convert_torch_opt_state(path, params, template)
+    assert epoch == 5
+
+    def find_adam(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s
+        if isinstance(s, tuple):
+            for v in s:
+                r = find_adam(v)
+                if r is not None:
+                    return r
+        if hasattr(s, "inner_state"):
+            return find_adam(s.inner_state)
+        return None
+
+    adam = find_adam(opt_state)
+    assert adam is not None and int(adam.count) == 3
+    want = opt.state_dict()["state"][0]["exp_avg"].numpy().transpose(2, 3, 1, 0)
+    got = np.asarray(adam.mu["params"]["stage1"]["conv1a"]["conv"]["kernel"])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    want_nu = opt.state_dict()["state"][2]["exp_avg_sq"].numpy().transpose(2, 3, 1, 0)
+    got_nu = np.asarray(adam.nu["params"]["stage2"]["fuse_conv"]["conv"]["kernel"])
+    np.testing.assert_allclose(got_nu, want_nu, rtol=1e-6)
 
 
 def test_native_checkpoint_roundtrip(tmp_path):

@@ -50,6 +50,7 @@ def adobe_cfg(tmp_path):
     with open(pkl, "wb") as f:
         pickle.dump({"clip_00000"}, f)
     cfg.set("DATA", "DATASET", "ADOBE")
+    cfg.set("DATA", "WINDOW_LENGTH", 60)
     cfg.set("ADOBE_DATA", "ROOTDIR", str(tmp_path))
     cfg.set("ADOBE_DATA", "TRAINPATHS", str(txt))
     cfg.set("ADOBE_DATA", "VALPATHS", str(txt))
@@ -202,6 +203,42 @@ class TestLoader:
     def test_get_dataset_dispatch(self, adobe_cfg):
         loader = build_reader(adobe_cfg, "TRAIN")
         assert isinstance(loader, AdobeReader)
+
+    def test_thread_count_determinism(self):
+        """Per-item (seed, epoch, idx) child rngs: identical batches for any
+        num_threads, across epochs, across fresh loader instances."""
+
+        class RngReader:
+            def __len__(self):
+                return 16
+
+            def __getitem__(self, idx, rng=None):
+                rng = rng if rng is not None else np.random.default_rng()
+                x = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+                t = rng.integers(1, 8, size=(1,)).astype(np.float32) / 8.0
+                return x + idx, t
+
+        def run(num_threads, epochs=2):
+            loader = Loader(RngReader(), batch_size=4, shuffle=True,
+                            drop_last=True, num_threads=num_threads, seed=7)
+            return [batch for _ in range(epochs) for batch in loader]
+
+        a, b, c = run(1), run(4), run(4)
+        for ba, bb, bc in zip(a, b, c):
+            for xa, xb, xc in zip(ba, bb, bc):
+                np.testing.assert_array_equal(xa, xb)
+                np.testing.assert_array_equal(xa, xc)
+        # epochs must differ (different shuffle + item rngs)
+        assert not np.array_equal(a[0][0], a[len(a) // 2][0])
+
+    def test_real_reader_thread_determinism(self, adobe_cfg):
+        def batches():
+            r = AdobeReader(adobe_cfg, "TRAIN", eval_mode=False)
+            return list(Loader(r, batch_size=1, shuffle=True, drop_last=True,
+                               num_threads=4, seed=3))
+
+        for xa, xb in zip(*(b[0] for b in (batches(), batches()))):
+            np.testing.assert_array_equal(xa, xb)
 
 
 class TestAugment:

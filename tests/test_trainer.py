@@ -24,6 +24,7 @@ def train_cfg(tmp_path):
         f.write(f"{len(clip_paths)}\n")
         f.writelines(p + "\n" for p in clip_paths)
     cfg.set("DATA", "DATASET", "ADOBE")
+    cfg.set("DATA", "WINDOW_LENGTH", 12)
     cfg.set("ADOBE_DATA", "ROOTDIR", str(tmp_path))
     cfg.set("ADOBE_DATA", "TRAINPATHS", str(txt))
     cfg.set("TRAIN", "CROP_IMH", 32)
@@ -32,6 +33,7 @@ def train_cfg(tmp_path):
     cfg.set("TRAIN", "N_EPOCHS", 3)
     cfg.set("TRAIN", "SAVE_EVERY", 1)
     cfg.set("TRAIN", "CKPT_DIR", str(tmp_path / "ckpts"))
+    cfg.set("TRAIN", "ALLOW_RANDOM_VGG", "TRUE")  # smoke runs have no VGG file
     cfg.set("DATALOADER", "N_WORKERS", 1)
     return cfg
 

@@ -6,7 +6,9 @@ import pytest
 from superslomo_tpu.utils.make_clips import window_sequence, write_clip_list
 from superslomo_tpu.data.readers import read_clip_list_file
 from superslomo_tpu.utils.validators import (
+    check_clip_window,
     check_eval_dims,
+    check_eval_result_count,
     check_forward_inputs,
     check_t_interp,
 )
@@ -52,3 +54,19 @@ class TestValidators:
         check_eval_dims(736, 1280)
         with pytest.raises(ValueError):
             check_eval_dims(720, 1280)
+
+    def test_clip_window(self):
+        check_clip_window(57, 57, 9, 9)
+        with pytest.raises(ValueError):  # list entry != DATA.WINDOW_LENGTH
+            check_clip_window(60, 57, 9, 9)
+        with pytest.raises(ValueError):  # too short for the sample
+            check_clip_window(5, 5, 9, 5)
+        with pytest.raises(ValueError):  # selected window wrong length
+            check_clip_window(57, 57, 9, 8)
+
+    def test_eval_result_count(self):
+        check_eval_result_count(7, 8, "ADOBE")
+        check_eval_result_count(31, 32, "SINTEL_HFR")
+        check_eval_result_count(1, 8, "VIMEO")  # Vimeo exempt (t=0.5 only)
+        with pytest.raises(ValueError):
+            check_eval_result_count(6, 8, "ADOBE")
