@@ -45,6 +45,7 @@ def load_model_params(cfg: Config):
                 torch_cache[path] = ckpt.convert_torch_checkpoint(path)
             conv = torch_cache[path]["params"]
             if stage in conv:
+                ckpt.check_converted_shapes(conv[stage], tree[stage], stage)
                 tree[stage] = conv[stage]
         log.info("Loaded %s from %s", stage, path)
     return {"params": tree}

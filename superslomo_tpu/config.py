@@ -63,6 +63,11 @@ _DEFAULTS = {
     ("TPU", "DATA_AXIS"): "data",
     ("TPU", "SPATIAL_AXIS"): "spatial",
     ("TPU", "USE_PALLAS_WARP"): "AUTO",    # AUTO | TRUE | FALSE
+    # Bidirectional ConvLSTM/GRU layout knobs (the reference's CLSTM
+    # submodule is un-vendored, so checkpoint portability needs an explicit
+    # contract — see models/bottleneck.py):
+    ("TPU", "CLSTM_MERGE"): "CONCAT",      # CONCAT (hidden/2 per dir) | SUM (full)
+    ("TPU", "CLSTM_GATE_ORDER"): "IFOG",   # permutation of I,F,O,G
 }
 
 VALID_BOTTLENECKS = ("CONV", "CLSTM", "CGRU")
@@ -137,6 +142,8 @@ class Config:
             stage1_freeze=self.getboolean("STAGE1", "FREEZE"),
             stage2_freeze=self.getboolean("STAGE2", "FREEZE"),
             compute_dtype=self.get("TPU", "COMPUTE_DTYPE"),
+            clstm_merge=self.get("TPU", "CLSTM_MERGE").upper(),
+            clstm_gate_order=self.get("TPU", "CLSTM_GATE_ORDER").upper(),
         )
 
     def validate(self) -> None:
@@ -172,6 +179,8 @@ class ModelSpec:
     stage1_freeze: bool = False
     stage2_freeze: bool = False
     compute_dtype: str = "float32"
+    clstm_merge: str = "CONCAT"  # CONCAT | SUM (models/bottleneck.py)
+    clstm_gate_order: str = "IFOG"
 
 
 def load_config(path: str) -> Config:

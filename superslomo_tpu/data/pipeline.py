@@ -120,20 +120,25 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
 
     :param sharding: optional jax.sharding.Sharding (e.g. batch-sharded
         NamedSharding) applied in device_put — the multi-chip feed path.
+        A tuple of shardings applies element-wise to each batch tuple entry
+        (e.g. spatially-sharded frames vs batch-only t).
     """
     import jax
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
+    def _put(batch):
+        if sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        if isinstance(sharding, tuple):
+            return tuple(jax.device_put(x, s) for x, s in zip(batch, sharding))
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
     def producer():
         try:
             for batch in iterator:
-                if sharding is not None:
-                    batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
-                else:
-                    batch = jax.tree.map(jax.device_put, batch)
-                q.put(batch)
+                q.put(_put(batch))
         finally:
             q.put(_END)
 

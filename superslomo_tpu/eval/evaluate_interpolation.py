@@ -31,6 +31,12 @@ log = logging.getLogger(__name__)
 
 
 class Evaluator:
+    """``mesh`` (optional jax.sharding.Mesh with a ``data`` axis) shards the
+    eval batch across devices — the TPU-native equivalent of the reference
+    DataParallel-ing its evaluator (evaluate_interpolation_results.py:65-67).
+    Batches that don't divide the data axis are padded with the last sample
+    and trimmed after (the reference instead skips them, :251-252)."""
+
     def __init__(self, cfg: Config, params, mesh=None):
         self.cfg = cfg
         self.params = params
@@ -52,11 +58,33 @@ class Evaluator:
                 jnp.arange(1, self.interp_factor, dtype=jnp.float32) / self.interp_factor
             )
         self.t_values = t_values
-        self._step = jax.jit(
-            lambda p, frames: self.model.apply(
+        self.mesh = mesh
+        self.n_data = 1
+
+        def run(p, frames):
+            return self.model.apply(
                 p, frames, self.t_values, method=SuperSloMo.interpolate_multi_t
             )
-        )
+
+        if mesh is None:
+            self._step = jax.jit(run)
+        else:
+            from superslomo_tpu import ops as _ops
+            from superslomo_tpu.parallel.mesh import batch_sharding, replicated
+
+            self.n_data = int(mesh.shape["data"])
+            self._data_sh = batch_sharding(mesh)
+
+            def run_sharded(p, frames):
+                # trace-time context: warps run as shard_map islands
+                with _ops.warp_mesh(mesh):
+                    return run(p, frames)
+
+            self._step = jax.jit(
+                run_sharded,
+                in_shardings=(replicated(mesh), self._data_sh),
+                out_shardings=self._data_sh,
+            )
 
     def get_dims(self):
         """/32-aligned reference dims + crop offsets
@@ -90,8 +118,16 @@ class Evaluator:
     def eval_batch(self, frames: np.ndarray, targets: np.ndarray, n_avail: np.ndarray):
         """One val batch: fused multi-t interpolation, trim edge windows,
         score (evaluate_interpolation_results.py:110-141)."""
+        B = frames.shape[0]
+        frames = np.asarray(frames, np.float32)
+        if self.n_data > 1 and B % self.n_data:
+            # pad to the data-axis size with the last sample; trimmed below
+            pad = self.n_data - B % self.n_data
+            frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
+        if self.mesh is not None:
+            frames = jax.device_put(jnp.asarray(frames), self._data_sh)
         out = self._step(self.params, jnp.asarray(frames, jnp.float32))
-        out = np.asarray(out)  # (B, n_t, H, W, 3)
+        out = np.asarray(out)[:B]  # (B, n_t, H, W, 3)
         # reference validators.py:98-105
         from superslomo_tpu.utils.validators import check_eval_result_count
 

@@ -22,6 +22,7 @@ MXU; no Python loops over time.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -29,15 +30,27 @@ import jax.numpy as jnp
 
 
 class ConvLSTMCell(nn.Module):
-    """Peephole-free ConvLSTM cell. Gate order (i, f, o, g) follows the
-    upstream ConvLSTM repo so checkpoints remain portable."""
+    """Peephole-free ConvLSTM cell.
+
+    ``gate_order`` names the channel-block order of the fused gate conv as a
+    permutation of "ifog" (input, forget, output, candidate). The default
+    (i, f, o, g) matches the common upstream ConvLSTM packing
+    (torch.split order in ndrplz-style cells); if the real
+    SreenivasVRao/ConvGRU-ConvLSTM-PyTorch submodule packs differently, set
+    ``[TPU] CLSTM_GATE_ORDER`` so ported checkpoints load correctly — the
+    explicit contract VERDICT/SURVEY §7 hard-part #2 calls for."""
 
     hidden: int
     kernel: int = 3
     dtype: Any = jnp.float32
+    gate_order: str = "ifog"
 
     @nn.compact
     def __call__(self, carry, x):
+        if sorted(self.gate_order) != ["f", "g", "i", "o"]:
+            raise ValueError(
+                f"gate_order must be a permutation of 'ifog', got {self.gate_order!r}"
+            )
         h, c = carry
         p = self.kernel // 2
         z = nn.Conv(
@@ -48,11 +61,12 @@ class ConvLSTMCell(nn.Module):
             dtype=self.dtype,
             name="gates",
         )(jnp.concatenate([x, h], axis=-1))
-        i, f, o, g = jnp.split(z, 4, axis=-1)
-        i = nn.sigmoid(i)
-        f = nn.sigmoid(f)
-        o = nn.sigmoid(o)
-        g = jnp.tanh(g)
+        blocks = jnp.split(z, 4, axis=-1)
+        gates = {name: blk for name, blk in zip(self.gate_order, blocks)}
+        i = nn.sigmoid(gates["i"])
+        f = nn.sigmoid(gates["f"])
+        o = nn.sigmoid(gates["o"])
+        g = jnp.tanh(gates["g"])
         c = f * c + i * g
         h = o * jnp.tanh(c)
         return (h, c), h
@@ -111,7 +125,8 @@ def _scan_cell(cell_cls, name, hidden, dtype, x, reverse, initial_carry=None):
     B, T, H, W, C = x.shape
     if initial_carry is None:
         h0 = jnp.zeros((B, H, W, hidden), dtype=x.dtype)
-        if cell_cls is ConvLSTMCell:
+        base = getattr(cell_cls, "func", cell_cls)  # unwrap functools.partial
+        if base is ConvLSTMCell:
             initial_carry = (h0, jnp.zeros_like(h0))
         else:
             initial_carry = (h0,)
@@ -123,17 +138,39 @@ class BiConvRNN(nn.Module):
     """Bidirectional multi-layer ConvLSTM/ConvGRU over a window sequence.
 
     Input/output: (B, T, H, W, C); output channels = ``hidden_channels``.
+
+    ``merge`` selects between the two plausible upstream bidirectional
+    layouts (the reference's CLSTM submodule is un-vendored, so the true one
+    is unknowable from the checkout — flow_computation.py:73-88 only fixes
+    in=hidden=512 and a 512-channel output into conv7a):
+
+    * "concat": hidden_channels // 2 per direction, channel-concatenated
+      (the common ConvBLSTM construction; round-1 default);
+    * "sum": full hidden_channels per direction, outputs summed.
+
+    A ported checkpoint pins the layout via its gate-conv shapes — the
+    weight loader raises with a pointer to ``[TPU] CLSTM_MERGE`` when the
+    configured layout disagrees (training/trainer.py).
     """
 
     hidden_channels: int
     num_layers: int = 2
     cell: str = "CLSTM"  # CLSTM | CGRU
     dtype: Any = jnp.float32
+    merge: str = "concat"  # concat | sum
+    gate_order: str = "ifog"
 
     @nn.compact
     def __call__(self, x, carry_in=None):
-        cell_cls = ConvLSTMCell if self.cell == "CLSTM" else ConvGRUCell
-        per_dir = self.hidden_channels // 2
+        if self.merge not in ("concat", "sum"):
+            raise ValueError(f"merge must be 'concat' or 'sum', got {self.merge!r}")
+        if self.cell == "CLSTM":
+            cell_cls = functools.partial(ConvLSTMCell, gate_order=self.gate_order)
+        else:
+            cell_cls = ConvGRUCell
+        per_dir = (
+            self.hidden_channels // 2 if self.merge == "concat" else self.hidden_channels
+        )
         carry_out = {}
 
         outs = []
@@ -149,6 +186,9 @@ class BiConvRNN(nn.Module):
             outs.append(y)
 
         # fwd outputs + (already time-aligned, since reverse-scan emits
-        # outputs at their original positions) rev outputs, channel concat.
-        out = jnp.concatenate(outs, axis=-1)
+        # outputs at their original positions) rev outputs.
+        if self.merge == "concat":
+            out = jnp.concatenate(outs, axis=-1)
+        else:
+            out = outs[0] + outs[1]
         return out, carry_out

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from superslomo_tpu.config import ModelSpec
 from superslomo_tpu.models.physics import refined_flows
 from superslomo_tpu.models.superslomo import ModelOutputs
-from superslomo_tpu.ops import backward_warp
+from superslomo_tpu.ops import warp_auto as backward_warp
 
 
 class LossWeights(NamedTuple):
@@ -92,16 +92,22 @@ def compute_losses(
     vgg_apply: Callable[[jnp.ndarray], jnp.ndarray],
 ) -> jnp.ndarray:
     """All windows → (B, 4), averaged over windows
-    (reference: superslomo_r.py:215-240)."""
-    def one_window(pair, flow_c, fi_in, fi_out, pred, tgt):
-        return window_losses(pair, flow_c, fi_in, fi_out, pred, tgt, spec, weights, vgg_apply)
+    (reference: superslomo_r.py:215-240).
 
-    per_window = jax.vmap(one_window, in_axes=(1, 1, 1, 1, 1, 1), out_axes=0)(
-        outputs.image_pairs,
-        outputs.flowC_out,
-        outputs.flowI_in,
-        outputs.flowI_out,
-        outputs.pred_images,
-        targets,
+    Windows are folded into the batch axis (not vmapped) so the loss warps
+    and the VGG forward each run once at (B·W_n) batch — and the shard_map
+    SPMD warp composes (it cannot live under a vmap)."""
+    B, W_n = targets.shape[:2]
+    fold = lambda x: x.reshape((B * W_n,) + x.shape[2:])
+    per_sample = window_losses(
+        fold(outputs.image_pairs),
+        fold(outputs.flowC_out),
+        fold(outputs.flowI_in),
+        fold(outputs.flowI_out),
+        fold(outputs.pred_images),
+        fold(targets),
+        spec,
+        weights,
+        vgg_apply,
     )
-    return per_window.mean(axis=0)  # (T-1, B, 4) → (B, 4)
+    return per_sample.reshape(B, W_n, 4).mean(axis=1)  # → (B, 4)

@@ -85,12 +85,17 @@ class SuperSloMo(nn.Module):
 
     def setup(self):
         dtype = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else jnp.float32
+        clstm = dict(
+            clstm_merge=self.spec.clstm_merge.lower(),
+            clstm_gate_order=self.spec.clstm_gate_order.lower(),
+        )
         self.stage1 = UNet(
             out_channels=4,
             bottleneck=self.spec.stage1_bottleneck,
             emit_encoding=self.spec.cross_skip,
             dtype=dtype,
             name="stage1",
+            **clstm,
         )
         self.stage2 = UNet(
             out_channels=5,
@@ -98,6 +103,7 @@ class SuperSloMo(nn.Module):
             accept_encoding=self.spec.cross_skip,
             dtype=dtype,
             name="stage2",
+            **clstm,
         )
 
     # ------------------------------------------------------------------ #
@@ -117,6 +123,7 @@ class SuperSloMo(nn.Module):
         """
         pairs = make_pairs(frames)
         t = _broadcast_t(t_interp, pairs.shape[1])
+        B, W_n = pairs.shape[:2]
 
         carry1 = rnn_carry.get("stage1") if rnn_carry else None
         carry2 = rnn_carry.get("stage2") if rnn_carry else None
@@ -124,20 +131,27 @@ class SuperSloMo(nn.Module):
         flowC_out, encoding, carry1_out = self.stage1(pairs, rnn_carry=carry1)
         flowC_out = flowC_out.astype(jnp.float32)
 
-        # physics over the window axis (vmap, not a Python loop)
-        t_axis = None if jnp.ndim(t) == 0 else 1
-        flowI_in = jax.vmap(
-            physics.compute_stage2_inputs, in_axes=(1, 1, t_axis), out_axes=1
-        )(pairs, flowC_out, t)
+        # Physics over the window axis: fold windows into the batch (NOT a
+        # vmap) so the warps see one big (B·W_n)-batch — bigger kernels, and
+        # the shard_map SPMD warp (parallel/warp_spmd.py) composes with a
+        # plain batch dimension where it cannot with a vmapped one.
+        fold = lambda x: x.reshape((B * W_n,) + x.shape[2:])
+        unfold = lambda x: x.reshape((B, W_n) + x.shape[1:])
+        t_f = t if jnp.ndim(t) == 0 else fold(t)
+        flowI_in = unfold(
+            physics.compute_stage2_inputs(fold(pairs), fold(flowC_out), t_f)
+        )
 
         flowI_out, _, carry2_out = self.stage2(
             flowI_in, cross_encoding=encoding, rnn_carry=carry2
         )
         flowI_out = flowI_out.astype(jnp.float32)
 
-        pred_images = jax.vmap(
-            physics.compute_output_image, in_axes=(1, 1, 1, t_axis), out_axes=1
-        )(pairs, flowI_in, flowI_out, t)
+        pred_images = unfold(
+            physics.compute_output_image(
+                fold(pairs), fold(flowI_in), fold(flowI_out), t_f
+            )
+        )
 
         carry_out = None
         if carry1_out is not None or carry2_out is not None:
@@ -171,20 +185,26 @@ class SuperSloMo(nn.Module):
         flowC_out, encoding, _ = self.stage1(pairs, rnn_carry=carry1)
         flowC_out = flowC_out.astype(jnp.float32)
 
-        # Fold the t-grid into the batch axis: (n_t*B, T-1, ...)
+        # Fold the t-grid into the batch axis, SAMPLE-major: (B*n_t, T-1,
+        # ...). Keeping the original batch as the leading-dim major order
+        # preserves a batch sharding across the reshape (no resharding at
+        # the shard_map warp boundary under a data-parallel mesh).
         def tile(x):
-            return jnp.broadcast_to(x[None], (n_t,) + x.shape).reshape((n_t * B,) + x.shape[1:])
+            return jnp.broadcast_to(
+                x[:, None], (B, n_t) + x.shape[1:]
+            ).reshape((B * n_t,) + x.shape[1:])
 
         pairs_t = tile(pairs)
         flow_t = tile(flowC_out)
         enc_t = tile(encoding) if encoding is not None else None
-        # t for sample k*B+b, window w is t_values[k]
-        t = jnp.repeat(t_values, B).reshape(n_t * B, 1, 1, 1, 1)
-        t = jnp.broadcast_to(t, (n_t * B, W_n, 1, 1, 1))
+        # t for sample b*n_t + k, window w is t_values[k]
+        t = jnp.tile(t_values, B).reshape(B * n_t, 1, 1, 1, 1)
+        t = jnp.broadcast_to(t, (B * n_t, W_n, 1, 1, 1))
 
-        flowI_in = jax.vmap(
-            physics.compute_stage2_inputs, in_axes=(1, 1, 1), out_axes=1
-        )(pairs_t, flow_t, t)
+        fold = lambda x: x.reshape((B * n_t * W_n,) + x.shape[2:])
+        flowI_in = physics.compute_stage2_inputs(
+            fold(pairs_t), fold(flow_t), fold(t)
+        ).reshape(B * n_t, W_n, H, W_, 16)
 
         carry2 = rnn_carry.get("stage2") if rnn_carry else None
         flowI_out, _, _ = self.stage2(flowI_in, cross_encoding=enc_t, rnn_carry=carry2)
@@ -194,7 +214,7 @@ class SuperSloMo(nn.Module):
         pred = physics.compute_output_image(
             pairs_t[:, mid], flowI_in[:, mid], flowI_out[:, mid], t[:, mid]
         )
-        return pred.reshape(n_t, B, H, W_, 3).transpose(1, 0, 2, 3, 4)
+        return pred.reshape(B, n_t, H, W_, 3)
 
 
 def intermediates_for_window(outputs: ModelOutputs, window: int) -> Intermediates:

@@ -80,6 +80,8 @@ class UNet(nn.Module):
     emit_encoding: bool = False  # stage1 w/ cross-stage skip
     accept_encoding: bool = False  # stage2 w/ cross-stage skip
     dtype: Any = jnp.float32
+    clstm_merge: str = "concat"  # concat | sum (models/bottleneck.py)
+    clstm_gate_order: str = "ifog"
 
     @nn.compact
     def __call__(
@@ -127,6 +129,8 @@ class UNet(nn.Module):
                 num_layers=2,
                 cell=self.bottleneck,
                 dtype=self.dtype,
+                merge=self.clstm_merge,
+                gate_order=self.clstm_gate_order,
                 name="conv6",
             )(seq, rnn_carry)
             h = h.reshape(B * T, H // 32, W // 32, 512)

@@ -240,32 +240,56 @@ def _warp_image_colsplit(img: jnp.ndarray, flow: jnp.ndarray, n_splits: int):
     return jnp.concatenate(outs, axis=1)[:, :W]
 
 
-@jax.custom_vjp
-def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) x (B, H, W, 2) → (B, H, W, C); grid_sample parity within
-    the |v| ≤ 128, |u| ≤ 128 band (see module docstring). Falls back to the
-    XLA gather for planes too large to hold in VMEM (≳1080p f32)."""
+# Exact band of the kernel (see module docstring): the d loop covers integer
+# row offsets |d| ≤ _BAND (plus the y0+1 tap) and the lane gather reaches
+# ±_U_SEG·128 columns. |u|, |v| ≤ 128.0 inclusive is safe (at exactly +128
+# the dropped x0+1 tap has zero weight).
+_MAX_FLOW = float(_BAND)
+
+
+def _pallas_dispatch(img: jnp.ndarray, flow: jnp.ndarray):
+    """Static shape-based kernel selection. Returns the pallas warp path for
+    this (shape, dtype), or None when no variant fits VMEM."""
     B, H, W, C = img.shape
-    flow = flow.astype(img.dtype)
     if fits_vmem(H, W, img.dtype.itemsize, n_chan=C):
         # all channels in one kernel: index math and flow loads amortize
-        return jax.vmap(_warp_image)(img, flow)
+        return jax.vmap(_warp_image)
     if fits_vmem(H, W, img.dtype.itemsize, n_chan=1):
         # plane at a time (720p f32 territory)
         def per_image(im, fl):
             planes = [_warp_image(im[..., c : c + 1], fl) for c in range(C)]
             return jnp.concatenate(planes, axis=-1)
 
-        return jax.vmap(per_image)(img, flow)
+        return jax.vmap(per_image)
     # wide frames (1080p+): split columns with a halo covering the kernel's
     # horizontal reach, warping each slice independently
     for n_splits in (2, 4, 8):
         ws = -(-W // n_splits)
         if fits_vmem(H, ws + 2 * _HALO, img.dtype.itemsize, n_chan=1):
             return jax.vmap(
-                lambda im, fl: _warp_image_colsplit(im, fl, n_splits)
-            )(img, flow)
-    return warp_ref.backward_warp(img, flow)
+                lambda im, fl, n=n_splits: _warp_image_colsplit(im, fl, n)
+            )
+    return None
+
+
+@jax.custom_vjp
+def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) x (B, H, W, 2) → (B, H, W, C); grid_sample parity.
+
+    The kernel is exact within its |v| ≤ 128, |u| ≤ 128 band (see module
+    docstring); a runtime max-|flow| guard routes out-of-band batches to the
+    XLA gather (ops/warp.py), so arbitrary-magnitude flows are always correct
+    — fast motion at 1080p degrades to the slower exact path instead of
+    silently contributing zeros. Also falls back statically for planes too
+    large to hold in VMEM."""
+    flow = flow.astype(img.dtype)
+    path = _pallas_dispatch(img, flow)
+    if path is None:
+        return warp_ref.backward_warp(img, flow)
+    in_band = jnp.max(jnp.abs(flow)) <= jnp.asarray(_MAX_FLOW, flow.dtype)
+    return jax.lax.cond(
+        in_band, path, lambda im, fl: warp_ref.backward_warp(im, fl), img, flow
+    )
 
 
 def _fwd(img, flow):

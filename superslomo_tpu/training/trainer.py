@@ -135,12 +135,6 @@ class Trainer:
             )
         self.vgg_params = init_vgg_params(vgg_path)
 
-        # The Pallas warp kernel has no SPMD partitioning rules yet; the
-        # sharded train step keeps the XLA gather warp (see ops.set_pallas_warp).
-        from superslomo_tpu import ops as _ops
-
-        _ops.set_pallas_warp(False)
-
         self.tx = make_optimizer(self.spec, self.lr_schedule(1))
         self._train_step = self._build_train_step()
 
@@ -170,34 +164,54 @@ class Trainer:
                 else:  # torch .pt
                     conv = ckpt.convert_torch_checkpoint(path)
                     if stage in conv["params"]:
+                        ckpt.check_converted_shapes(
+                            conv["params"][stage], tree[stage], stage
+                        )
                         tree[stage] = conv["params"][stage]
                 log.info("Loaded %s weights from %s", stage, path)
         return {"params": tree}
 
     # ------------------------------------------------------------------ #
     def _build_train_step(self):
+        """The jitted, mesh-sharded production train step.
+
+        Batch is sharded over the ``data`` axis; when the mesh has a
+        non-trivial ``spatial`` axis, image height is sharded over it too
+        (XLA inserts conv halo exchanges; the warp runs as a shard_map
+        island with an explicit row-halo exchange — ops.warp_mesh).
+        ``__graft_entry__.dryrun_multichip`` certifies exactly this step.
+        """
         spec, weights = self.spec, self.weights
         model, vgg, tx = self.model, self.vgg, self.tx
+        mesh = self.mesh
+
+        from superslomo_tpu import ops as _ops
 
         def train_step(params, opt_state, vgg_params, frames, targets, t):
-            vgg_apply = lambda img: vgg.apply(vgg_params, img)
+            # entered at trace time: every warp in this program goes through
+            # the shard_map halo wrapper (parallel/warp_spmd.py)
+            with _ops.warp_mesh(mesh):
+                vgg_apply = lambda img: vgg.apply(vgg_params, img)
 
-            def loss_fn(p):
-                out = model.apply(p, frames, t)
-                losses = compute_losses(out, targets, spec, weights, vgg_apply)
-                return losses[:, 0].mean(), losses.mean(axis=0)
+                def loss_fn(p):
+                    out = model.apply(p, frames, t)
+                    losses = compute_losses(out, targets, spec, weights, vgg_apply)
+                    return losses[:, 0].mean(), losses.mean(axis=0)
 
-            (_, loss_vec), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                (_, loss_vec), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = apply_freeze(grads, spec)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss_vec
 
-        data_sh = batch_sharding(self.mesh)
+        n_spatial = self.mesh.shape["spatial"]
+        # (B, T, H, W, C) frames/targets: H sharded when spatial > 1
+        img_sh = batch_sharding(self.mesh, spatial_dim=2 if n_spatial > 1 else None)
+        t_sh = batch_sharding(self.mesh)
         repl = replicated(self.mesh)
         return jax.jit(
             train_step,
-            in_shardings=(repl, repl, repl, data_sh, data_sh, data_sh),
+            in_shardings=(repl, repl, repl, img_sh, img_sh, t_sh),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
@@ -211,7 +225,9 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def train(self, state: Optional[TrainState] = None, max_steps: Optional[int] = None):
         loader = get_dataset(self.cfg, "TRAIN")
-        data_sh = batch_sharding(self.mesh)
+        n_spatial = self.mesh.shape["spatial"]
+        img_sh = batch_sharding(self.mesh, spatial_dim=2 if n_spatial > 1 else None)
+        data_sh = (img_sh, img_sh, batch_sharding(self.mesh))
 
         if state is None:
             first = next(iter(loader))

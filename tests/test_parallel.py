@@ -49,6 +49,110 @@ def test_batch_sharded_forward():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_warp_sharded_matches_single_device():
+    """shard_map halo-exchange warp (XLA inner on CPU) == plain warp, with
+    flows crossing shard boundaries in both directions."""
+    from superslomo_tpu.ops.warp import backward_warp
+    from superslomo_tpu.parallel.warp_spmd import warp_sharded
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    B, H, W, C = 4, 64, 96, 3  # local shards: B=2, H=16
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    flow = jnp.asarray((rng.standard_normal((B, H, W, 2)) * 3).astype(np.float32))
+    # the one-hop halo bounds vertical reach by the local shard height (16
+    # rows here; ±128 at production shapes) — keep the test in its contract
+    assert float(jnp.abs(flow).max()) < 16
+
+    out = np.asarray(warp_sharded(img, flow, mesh))
+    ref = np.asarray(backward_warp(img, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_warp_sharded_gradients_match():
+    """Halo-row gradients must route back to the owning shard (ppermute
+    transpose): d/d(img,flow) of the sharded warp == single-device grads."""
+    from superslomo_tpu.ops.warp import backward_warp
+    from superslomo_tpu.parallel.warp_spmd import warp_sharded
+
+    mesh = make_mesh(n_data=2, n_spatial=2, devices=jax.devices()[:4])
+    B, H, W, C = 2, 32, 64, 2
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    flow = jnp.asarray((rng.standard_normal((B, H, W, 2)) * 3).astype(np.float32))
+    assert float(jnp.abs(flow).max()) < 16  # one-hop halo bound (local H=16)
+
+    def loss_sh(im, fl):
+        return jnp.sum(warp_sharded(im, fl, mesh) ** 2)
+
+    def loss_ref(im, fl):
+        return jnp.sum(backward_warp(im, fl) ** 2)
+
+    gi, gf = jax.grad(loss_sh, argnums=(0, 1))(img, flow)
+    ri, rf = jax.grad(loss_ref, argnums=(0, 1))(img, flow)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-4, rtol=1e-4)
+
+
+def test_trainer_spatial_sharded_step_matches_data_only():
+    """The production train step under a (2 data x 2 spatial) mesh computes
+    the same losses as under pure data parallelism — certifying the
+    H-sharded path (conv halos + shard_map warp) end to end."""
+    from superslomo_tpu.config import default_config
+    from superslomo_tpu.training.trainer import Trainer
+
+    B, H, W = 4, 64, 64
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((B, 2, H, W, 3), dtype=np.float32))
+    targets = jnp.asarray(rng.standard_normal((B, 1, H, W, 3), dtype=np.float32))
+    t = jnp.full((B, 1), 0.5, jnp.float32)
+
+    losses = {}
+    for name, (nd, ns) in {"data": (4, 1), "spatial": (2, 2)}.items():
+        cfg = default_config()
+        cfg.set("TRAIN", "BATCH_SIZE", B)
+        cfg.set("TRAIN", "ALLOW_RANDOM_VGG", "TRUE")
+        mesh = make_mesh(n_data=nd, n_spatial=ns, devices=jax.devices()[: nd * ns])
+        tr = Trainer(cfg, expt_name=f"t_{name}", mesh=mesh)
+        state = tr.init_state((frames, targets, t))
+        img_sh = batch_sharding(mesh, spatial_dim=2 if ns > 1 else None)
+        fr = jax.device_put(frames, img_sh)
+        tg = jax.device_put(targets, img_sh)
+        tt = jax.device_put(t, batch_sharding(mesh))
+        _, _, loss_vec = tr._train_step(
+            state.params, state.opt_state, tr.vgg_params, fr, tg, tt
+        )
+        losses[name] = np.asarray(loss_vec)
+        assert np.isfinite(losses[name]).all()
+    np.testing.assert_allclose(losses["spatial"], losses["data"], rtol=2e-4, atol=2e-4)
+
+
+def test_evaluator_mesh_matches_single_device():
+    """Batch-sharded eval step == single-device eval step."""
+    from superslomo_tpu.config import ModelSpec, default_config
+    from superslomo_tpu.eval.evaluate_interpolation import Evaluator
+    from superslomo_tpu.cli.common import init_params
+
+    cfg = default_config()
+    cfg.set("ADOBE_DATA", "H_IN", 32)
+    cfg.set("ADOBE_DATA", "W_IN", 32)
+    params = init_params(cfg)
+
+    ev0 = Evaluator(cfg, params)
+    mesh = make_mesh(n_data=4, n_spatial=1, devices=jax.devices()[:4])
+    ev1 = Evaluator(cfg, params, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    B = 6  # not divisible by 4: exercises the pad-and-trim path
+    frames = rng.standard_normal((B, 2, 32, 32, 3)).astype(np.float32)
+    out0 = np.asarray(ev0._step(params, jnp.asarray(frames)))
+    # mirror eval_batch's padding
+    pad = 4 - B % 4
+    fr = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
+    out1 = np.asarray(ev1._step(params, jax.device_put(jnp.asarray(fr), ev1._data_sh)))[:B]
+    np.testing.assert_allclose(out1, out0, rtol=2e-4, atol=2e-4)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 

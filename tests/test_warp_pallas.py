@@ -34,6 +34,26 @@ def test_pallas_warp_matches_xla(shape):
 
 
 @requires_tpu
+def test_pallas_warp_out_of_band_guard():
+    """Flows beyond the kernel's ±128 band must be exact (runtime guard →
+    XLA gather fallback), not silently zero."""
+    from superslomo_tpu.ops.warp import backward_warp
+    from superslomo_tpu.ops.warp_pallas import backward_warp_pallas
+
+    rng = np.random.default_rng(2)
+    B, H, W, C = 1, 192, 256, 3
+    img = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    flow = jnp.asarray((rng.standard_normal((B, H, W, 2)) * 5).astype(np.float32))
+    # push some flows far out of band (|u| up to ~180 px)
+    flow = flow.at[:, 10:40, 10:40, 0].add(170.0)
+    ref = np.asarray(backward_warp(img, flow))
+    out = np.asarray(backward_warp_pallas(img, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+    # sanity: the shifted region really does sample far-away content
+    assert np.abs(ref[:, 10:40, 10:40]).sum() > 0
+
+
+@requires_tpu
 def test_pallas_warp_gradients():
     from superslomo_tpu.ops.warp_pallas import backward_warp_pallas
 
