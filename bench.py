@@ -1,14 +1,18 @@
-"""Benchmark: 720p interpolated frames/sec/chip at 8x interpolation.
+"""Benchmark: 720p interpolated frames/sec/chip at 8x interpolation, plus
+machine-readable secondary metrics (p50/p99 step latency, MFU, 1080p
+16-stream throughput, train-step throughput).
 
 Runs the fused multi-t step (stage-1 once + 7-t stage-2 fold, one jitted
 program) on a padded 736x1280 Adobe-protocol frame pair on whatever device
 jax provides (TPU in CI; CPU locally). Prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 ``vs_baseline`` is the speedup over the reference-equivalent PyTorch-CPU
 implementation measured by benchmarks/torch_cpu_baseline.py (the BASELINE.md
-north star is ≥10x).
+north star is ≥10x). ``mfu`` counts the model's algorithmic conv FLOPs
+(full-resolution math, NOT the polyphase implementation's inflated MACs)
+against the v5e bf16 peak of 197 TF/s.
 """
 
 from __future__ import annotations
@@ -17,61 +21,173 @@ import json
 import os
 import time
 
-import os as _os
-
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+PEAK_TFLOPS = 197.0  # TPU v5e bf16
 
-def main():
+
+def unet_gmacs(h: int, w: int, in_ch: int, conv7a_in: int, out_ch: int) -> float:
+    """Algorithmic conv MACs (in units of 1e9) of one U-Net forward at h x w
+    (reference topology, flow_computation.py:27-153)."""
+    px = h * w
+    layers = [
+        (in_ch, 32, 7, 1), (32, 32, 7, 1),
+        (32, 64, 5, 2), (64, 64, 5, 2),
+        (64, 128, 3, 4), (128, 128, 3, 4),
+        (128, 256, 3, 8), (256, 256, 3, 8),
+        (256, 512, 3, 16), (512, 512, 3, 16),
+        (512, 512, 3, 32), (512, 512, 3, 32),           # conv6 x2
+        (conv7a_in, 512, 3, 16), (512, 512, 3, 16),     # block 7
+        (1024, 256, 3, 8), (256, 256, 3, 8),            # block 8
+        (512, 128, 3, 4), (128, 128, 3, 4),             # block 9
+        (256, 64, 3, 2), (64, 64, 3, 2),                # block 10
+        (128, 32, 3, 1), (32, 32, 3, 1),                # block 11
+        (64, 32, 3, 1), (32, out_ch, 3, 1),             # fuse + final
+    ]
+    return sum(px // (s * s) * k * k * ci * co for ci, co, k, s in layers) / 1e9
+
+
+def step_model_tflops(h: int, w: int, n_t: int) -> float:
+    """Model TFLOPs of one fused multi-t step (B=1): stage-1 once + n_t
+    stage-2 forwards (conv FLOPs only; warps/physics are <1%)."""
+    s1 = unet_gmacs(h, w, 6, 512, 4)
+    s2 = unet_gmacs(h, w, 16, 1024, 5)
+    return 2.0 * (s1 + n_t * s2) / 1e3
+
+
+def build_multi_t_step(h, w, n_t, compute_dtype):
     from superslomo_tpu.config import ModelSpec
     from superslomo_tpu.models.superslomo import SuperSloMo
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    H, W = (736, 1280) if on_tpu else (96, 160)  # CPU fallback keeps it quick
-    n_t = 7
-    B = 1
-
-    compute_dtype = "bfloat16" if on_tpu else "float32"
     spec = ModelSpec(n_frames=2, compute_dtype=compute_dtype)
     model = SuperSloMo(spec=spec)
-
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.standard_normal((B, 2, H, W, 3), dtype=np.float32))
+    frames = jnp.asarray(rng.standard_normal((1, 2, h, w, 3), dtype=np.float32))
     t_values = jnp.arange(1, n_t + 1, dtype=jnp.float32) / (n_t + 1)
-    params = model.init(jax.random.PRNGKey(0), frames, jnp.full((B, 1), 0.5))
+    params = model.init(jax.random.PRNGKey(0), frames, jnp.full((1, 1), 0.5))
+    step = jax.jit(
+        lambda p, f: model.apply(p, f, t_values, method=SuperSloMo.interpolate_multi_t)
+    )
+    return step, params, frames
 
-    @jax.jit
-    def step(p, f):
-        return model.apply(p, f, t_values, method=SuperSloMo.interpolate_multi_t)
 
+def timed_fps(step, params, frames, n_t, iters):
+    """Amortized mean (async dispatch pipeline) + per-dispatch p50/p99."""
     out = step(params, frames)
     out.block_until_ready()  # compile + warmup
-
-    iters = 20 if on_tpu else 3
     t0 = time.time()
     for _ in range(iters):
         out = step(params, frames)
     out.block_until_ready()
-    dt = (time.time() - t0) / iters
-    fps = B * n_t / dt
+    mean_ms = (time.time() - t0) / iters * 1e3
 
-    baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks",
-                                 "torch_cpu_baseline.json")
-    vs = None
-    if os.path.exists(baseline_path) and on_tpu:
-        with open(baseline_path) as f:
-            vs = fps / json.load(f)["fps_720p_8x_cpu"]
+    lat = []
+    for _ in range(iters):
+        t0 = time.time()
+        step(params, frames).block_until_ready()
+        lat.append((time.time() - t0) * 1e3)
+    return mean_ms, float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
 
-    print(json.dumps({
+
+def train_throughput(batch, h, w, remat, iters=10):
+    """samples/s of the full production-shaped train step (Adam + losses
+    with random-feature VGG) on one chip."""
+    import optax
+
+    from superslomo_tpu.config import ModelSpec
+    from superslomo_tpu.models.losses import LossWeights, compute_losses
+    from superslomo_tpu.models.superslomo import SuperSloMo
+    from superslomo_tpu.models.vgg import VGG16Features, init_vgg_params
+
+    spec = ModelSpec(n_frames=2, compute_dtype="bfloat16", remat=remat)
+    model = SuperSloMo(spec=spec)
+    vgg = VGG16Features()
+    vgg_params = init_vgg_params()
+    weights = LossWeights()
+    tx = optax.adam(1e-4)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((batch, 2, h, w, 3), dtype=np.float32))
+    targets = jnp.asarray(rng.standard_normal((batch, 1, h, w, 3), dtype=np.float32))
+    t = jnp.full((batch, 1), 0.5, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), frames[:1], t[:1])
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, frames, targets, t):
+        def loss_fn(p):
+            out = model.apply(p, frames, t)
+            return compute_losses(
+                out, targets, spec, weights, lambda img: vgg.apply(vgg_params, img)
+            )[:, 0].mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = train_step(params, opt_state, frames, targets, t)
+    loss.block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, frames, targets, t)
+    loss.block_until_ready()
+    return batch * iters / (time.time() - t0)
+
+
+def main():
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_t = 7
+    compute_dtype = "bfloat16" if on_tpu else "float32"
+
+    # headline: 720p 8x fused multi-t
+    H, W = (736, 1280) if on_tpu else (96, 160)
+    step, params, frames = build_multi_t_step(H, W, n_t, compute_dtype)
+    iters = 20 if on_tpu else 3
+    mean_ms, p50, p99 = timed_fps(step, params, frames, n_t, iters)
+    fps = n_t / (mean_ms / 1e3)
+    mfu = step_model_tflops(H, W, n_t) / (mean_ms / 1e3) / PEAK_TFLOPS
+
+    result = {
         "metric": "720p_interp_frames_per_sec_8x" if on_tpu else "cpu_smoke_interp_fps",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+        "vs_baseline": None,
+        "p50_ms": round(p50, 2),
+        "p99_ms": round(p99, 2),
+        "mfu": round(mfu, 4),
+        "model_tflops_per_step": round(step_model_tflops(H, W, n_t), 3),
+    }
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "benchmarks",
+                                 "torch_cpu_baseline.json")
+    if os.path.exists(baseline_path) and on_tpu:
+        with open(baseline_path) as f:
+            result["vs_baseline"] = round(fps / json.load(f)["fps_720p_8x_cpu"], 2)
+
+    if on_tpu:
+        # 1080p, 16 streams, sequential batch-1 dispatches (async-pipelined)
+        s1080, p1080, f1080 = build_multi_t_step(1088, 1920, n_t, compute_dtype)
+        s1080(p1080, f1080).block_until_ready()
+        n_streams = 16
+        t0 = time.time()
+        for _ in range(n_streams):
+            out = s1080(p1080, f1080)
+        out.block_until_ready()
+        result["fps_1080p_16stream"] = round(n_streams * n_t / (time.time() - t0), 3)
+
+        # train throughput (full loss, Adam), per chip
+        result["train_samples_per_sec_b8_224"] = round(
+            train_throughput(8, 224, 224, remat=False), 2
+        )
+        result["train_samples_per_sec_b8_352_remat"] = round(
+            train_throughput(8, 352, 352, remat=True), 2
+        )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -68,6 +68,10 @@ _DEFAULTS = {
     # contract — see models/bottleneck.py):
     ("TPU", "CLSTM_MERGE"): "CONCAT",      # CONCAT (hidden/2 per dir) | SUM (full)
     ("TPU", "CLSTM_GATE_ORDER"): "IFOG",   # permutation of I,F,O,G
+    # Rematerialize U-Net activations in the backward pass (jax.checkpoint):
+    # trades ~30% step time for ~2x activation memory — enables batch>=8
+    # training at 352² per chip.
+    ("TPU", "REMAT"): "FALSE",
 }
 
 VALID_BOTTLENECKS = ("CONV", "CLSTM", "CGRU")
@@ -144,6 +148,7 @@ class Config:
             compute_dtype=self.get("TPU", "COMPUTE_DTYPE"),
             clstm_merge=self.get("TPU", "CLSTM_MERGE").upper(),
             clstm_gate_order=self.get("TPU", "CLSTM_GATE_ORDER").upper(),
+            remat=self.getboolean("TPU", "REMAT"),
         )
 
     def validate(self) -> None:
@@ -181,6 +186,7 @@ class ModelSpec:
     compute_dtype: str = "float32"
     clstm_merge: str = "CONCAT"  # CONCAT | SUM (models/bottleneck.py)
     clstm_gate_order: str = "IFOG"
+    remat: bool = False  # jax.checkpoint each U-Net stage (training memory)
 
 
 def load_config(path: str) -> Config:

@@ -57,6 +57,9 @@ class Evaluator:
             t_values = (
                 jnp.arange(1, self.interp_factor, dtype=jnp.float32) / self.interp_factor
             )
+        from superslomo_tpu.utils.validators import check_t_interp
+
+        check_t_interp(np.asarray(t_values))  # reference validators.py:108-114
         self.t_values = t_values
         self.mesh = mesh
         self.n_data = 1

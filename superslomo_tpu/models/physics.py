@@ -40,18 +40,31 @@ def interpolate_flows(flow_pred: jnp.ndarray, t) -> tuple[jnp.ndarray, jnp.ndarr
     return est_flow_t0, est_flow_t1
 
 
-def compute_stage2_inputs(img_pair: jnp.ndarray, flow_pred: jnp.ndarray, t) -> jnp.ndarray:
+def compute_stage2_inputs(
+    img_pair: jnp.ndarray, flow_pred: jnp.ndarray, t, warp_dtype=None
+) -> jnp.ndarray:
     """Build the 16-channel stage-2 input tensor (flow_interpolation.py:338-372).
 
     :param img_pair: (B, H, W, 6) = [img0 | img1] channel concat.
     :param flow_pred: (B, H, W, 4) stage-1 flow output.
     :param t: scalar or (B, 1, 1, 1).
+    :param warp_dtype: optional reduced dtype (bf16) for the two warps.
+        These warped images feed ONLY the stage-2 U-Net, which computes in
+        that dtype anyway — so quantizing at the warp costs no quality while
+        halving the gather bandwidth (flow/position math stays f32 inside
+        the warp). The final-image warps (compute_output_image) are NOT
+        reduced.
     """
     est_flow_t0, est_flow_t1 = interpolate_flows(flow_pred, t)
     img_0 = img_pair[..., 0:3]
     img_1 = img_pair[..., 3:6]
-    warped_img_1t = backward_warp(img_1, est_flow_t1)
-    warped_img_0t = backward_warp(img_0, est_flow_t0)
+    if warp_dtype is not None and jnp.dtype(warp_dtype) != img_pair.dtype:
+        wd = jnp.dtype(warp_dtype)
+        warped_img_1t = backward_warp(img_1.astype(wd), est_flow_t1).astype(img_pair.dtype)
+        warped_img_0t = backward_warp(img_0.astype(wd), est_flow_t0).astype(img_pair.dtype)
+    else:
+        warped_img_1t = backward_warp(img_1, est_flow_t1)
+        warped_img_0t = backward_warp(img_0, est_flow_t0)
     return jnp.concatenate(
         [img_1, warped_img_1t, est_flow_t1, est_flow_t0, warped_img_0t, img_0],
         axis=-1,

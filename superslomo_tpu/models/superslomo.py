@@ -89,7 +89,11 @@ class SuperSloMo(nn.Module):
             clstm_merge=self.spec.clstm_merge.lower(),
             clstm_gate_order=self.spec.clstm_gate_order.lower(),
         )
-        self.stage1 = UNet(
+        # Rematerialization: recompute each U-Net's activations in the
+        # backward pass instead of keeping them live (jax.checkpoint) —
+        # unlocks batch>=8 at 352² per chip ([TPU] REMAT).
+        unet_cls = nn.remat(UNet) if self.spec.remat else UNet
+        self.stage1 = unet_cls(
             out_channels=4,
             bottleneck=self.spec.stage1_bottleneck,
             emit_encoding=self.spec.cross_skip,
@@ -97,7 +101,7 @@ class SuperSloMo(nn.Module):
             name="stage1",
             **clstm,
         )
-        self.stage2 = UNet(
+        self.stage2 = unet_cls(
             out_channels=5,
             bottleneck=self.spec.stage2_bottleneck,
             accept_encoding=self.spec.cross_skip,
@@ -138,8 +142,11 @@ class SuperSloMo(nn.Module):
         fold = lambda x: x.reshape((B * W_n,) + x.shape[2:])
         unfold = lambda x: x.reshape((B, W_n) + x.shape[1:])
         t_f = t if jnp.ndim(t) == 0 else fold(t)
+        wd = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else None
         flowI_in = unfold(
-            physics.compute_stage2_inputs(fold(pairs), fold(flowC_out), t_f)
+            physics.compute_stage2_inputs(
+                fold(pairs), fold(flowC_out), t_f, warp_dtype=wd
+            )
         )
 
         flowI_out, _, carry2_out = self.stage2(
@@ -202,8 +209,9 @@ class SuperSloMo(nn.Module):
         t = jnp.broadcast_to(t, (B * n_t, W_n, 1, 1, 1))
 
         fold = lambda x: x.reshape((B * n_t * W_n,) + x.shape[2:])
+        wd = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else None
         flowI_in = physics.compute_stage2_inputs(
-            fold(pairs_t), fold(flow_t), fold(t)
+            fold(pairs_t), fold(flow_t), fold(t), warp_dtype=wd
         ).reshape(B * n_t, W_n, H, W_, 16)
 
         carry2 = rnn_carry.get("stage2") if rnn_carry else None

@@ -17,11 +17,16 @@ TPU-native re-design, not a port:
   (flow_computation.py:305-311, :318-323). Here the window axis is folded
   into the batch axis for the encoder and decoder — one big conv per layer —
   and only the bottleneck sees time (a ``lax.scan`` for CLSTM/CGRU).
-* The ENTIRE full-resolution segment (encoder block 1, decoder block 11,
-  fuse, final conv, the 2x2 pool after block 1 and the final 2x upsample)
-  executes in space-to-depth polyphase form — exact rewrites at half
-  resolution with 4x channels (ops/s2d.py) — because ≤32-channel convs at
-  720p otherwise fill ≤25% of the MXU and dominate wall time.
+* Encoder blocks 1 AND 2 (7x7 and 5x5 convs at ≤64 channels, the pools
+  between them) execute in space-to-depth polyphase form — exact rewrites
+  one level down with 4x channels (ops/s2d.py) — because small-channel
+  convs at high resolution underfill the MXU's 128 output lanes.
+* EVERY decoder block's "bilinear 2x upsample + 3x3 conv" runs as the
+  composite half-grid conv of ops/upconv.py: exact, the true MAC count (no
+  polyphase zero-inflation), 4x the output channels (full MXU lanes), and
+  no upsampled intermediate in HBM — measured 3-7x per-block over the
+  literal path at 720p. Blocks 10/11 stay in s2d form through their second
+  conv and the fuse/final head.
 * The cross-stage skip (stage1 bottleneck encoding → stage2 decoder,
   flow_interpolation.py:98-101, :224-231) is a plain channel concat.
 """
@@ -35,29 +40,28 @@ import jax.numpy as jnp
 
 from superslomo_tpu.models.bottleneck import BiConvRNN
 from superslomo_tpu.models.layers import ConvLReLU
-from superslomo_tpu.ops import avg_pool_2x2, upsample_2x_bilinear
+from superslomo_tpu.ops import avg_pool_2x2
 from superslomo_tpu.ops.s2d import (
     S2DConv,
     S2DConvLReLU,
     depth_to_space,
     s2d_concat,
     s2d_pool_mean,
-    s2d_upsample2x,
     space_to_depth,
 )
+from superslomo_tpu.ops.upconv import UpConvLReLU
 
-# (name_a, name_b, features, kernel) per mid-resolution encoder block.
+# (name_a, name_b, features, kernel) per plain mid-resolution encoder block.
 _ENCODER_BLOCKS_MID = (
-    ("conv2a", "conv2b", 64, 5),
     ("conv3a", "conv3b", 128, 3),
     ("conv4a", "conv4b", 256, 3),
     ("conv5a", "conv5b", 512, 3),
 )
 
+# decoder blocks 8-9: composite up-conv → depth_to_space → plain b conv
 _DECODER_BLOCKS_MID = (
     ("conv8a", "conv8b", 256),
     ("conv9a", "conv9b", 128),
-    ("conv10a", "conv10b", 64),
 )
 
 
@@ -98,6 +102,7 @@ class UNet(nn.Module):
 
         blk = lambda name, feats, k: ConvLReLU(feats, k, dtype=self.dtype, name=name)
         sblk = lambda name, feats, k: S2DConvLReLU(feats, k, dtype=self.dtype, name=name)
+        upblk = lambda name, feats: UpConvLReLU(feats, dtype=self.dtype, name=name)
 
         # ---- encoder block 1 (full res, polyphase S2D) ---------------------
         h = space_to_depth(x.reshape(B * T, H, W, C))
@@ -107,14 +112,23 @@ class UNet(nn.Module):
         # pool2 == mean of the 4 phases of conv1b's S2D form
         h = s2d_pool_mean(skip1_s2d)  # (B*T, H/2, W/2, 32)
 
-        # ---- encoder blocks 2-5 (half res and below) -----------------------
+        # ---- encoder block 2 (half res, polyphase S2D: 5x5 → 3x3 at 1/4
+        # res with 4x channels — 1.44x MACs for ~3x the MXU rate) -----------
+        h = space_to_depth(h)
+        h = sblk("conv2a", 64, 5)(h)
+        skip2_s2d = sblk("conv2b", 64, 5)(h)  # s2d @ H/4 grid (4*64 ch)
+
+        # pool3 == phase mean of conv2b's s2d form
+        h = s2d_pool_mean(skip2_s2d)  # (B*T, H/4, W/4, 64)
+
+        # ---- encoder blocks 3-5 (quarter res and below, plain) -------------
         skips = []
         for i, (na, nb, feats, k) in enumerate(_ENCODER_BLOCKS_MID):
             if i > 0:
                 h = avg_pool_2x2(h)
             h = blk(na, feats, k)(h)
             h = blk(nb, feats, k)(h)
-            skips.append(h)
+            skips.append(h)  # conv3b, conv4b, conv5b
         pool6 = avg_pool_2x2(h)  # (B*T, H/32, W/32, 512)
 
         # ---- bottleneck ----------------------------------------------------
@@ -139,26 +153,32 @@ class UNet(nn.Module):
 
         encoding = h.reshape(B, T, H // 32, W // 32, 512) if self.emit_encoding else None
 
-        # ---- decoder blocks 7-10 (1/32 → 1/2 res) --------------------------
+        # ---- decoder (1/32 → full res) -------------------------------------
+        # Every decoder block's "bilinear 2x upsample + 3x3 conv" runs as
+        # the composite half-grid conv (ops/upconv.py): exact, true MAC
+        # count, full MXU lanes, and no upsampled intermediate in HBM.
         if self.accept_encoding:
             if cross_encoding is None:
                 raise ValueError("this stage was built with accept_encoding=True")
             ce = cross_encoding.reshape(B * T, H // 32, W // 32, 512).astype(h.dtype)
             h = jnp.concatenate([h, ce], axis=-1)  # 1024ch, as conv7a expects
-        h = upsample_2x_bilinear(h)
-        h = blk("conv7a", 512, 3)(h)
+        h = depth_to_space(upblk("conv7a", 512)(h))  # (H/16, 512)
         h = blk("conv7b", 512, 3)(h)
 
         for (na, nb, feats), skip in zip(_DECODER_BLOCKS_MID, reversed(skips[1:])):
             h = jnp.concatenate([h, skip], axis=-1)
-            h = upsample_2x_bilinear(h)
-            h = blk(na, feats, 3)(h)
+            h = depth_to_space(upblk(na, feats)(h))
             h = blk(nb, feats, 3)(h)
 
+        # ---- decoder block 10: stay in s2d form through conv10b ------------
+        h = jnp.concatenate([h, skips[0]], axis=-1)  # conv9b + conv3b @ 1/4
+        h = upblk("conv10a", 64)(h)  # s2d @ H/4 grid (phases of H/2)
+        h = sblk("conv10b", 64, 3)(h)
+        h = depth_to_space(h)  # (H/2, 64)
+
         # ---- decoder block 11 + fuse + head (full res, polyphase S2D) ------
-        h = jnp.concatenate([h, skips[0]], axis=-1)  # conv10b + conv2b @ 1/2
-        h = s2d_upsample2x(h)  # S2D form of the full-res bilinear upsample
-        h = sblk("conv11a", 32, 3)(h)
+        h = jnp.concatenate([h, depth_to_space(skip2_s2d)], axis=-1)  # + conv2b
+        h = upblk("conv11a", 32)(h)  # s2d @ H/2 grid (phases of full res)
         h = sblk("conv11b", 32, 3)(h)
         h = s2d_concat(h, skip1_s2d)
         h = sblk("fuse_conv", 32, 3)(h)

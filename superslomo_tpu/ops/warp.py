@@ -39,9 +39,14 @@ def _gather_hw(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarra
 
 
 def _warp_single(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp one image. img: (H, W, C); flow: (H, W, 2) with (u, v) = (dx, dy)."""
+    """Warp one image. img: (H, W, C); flow: (H, W, 2) with (u, v) = (dx, dy).
+
+    Position/weight math is always f32 — sample coordinates up to W=1280
+    lose whole pixels in bf16 — while gathered values keep the image dtype
+    (bf16 images halve the gather bandwidth)."""
     H, W, _ = img.shape
-    dtype = img.dtype
+    dtype = jnp.float32
+    flow = flow.astype(dtype)
 
     # Sample positions in pixel coordinates: (x + u, y + v).
     xs = jnp.arange(W, dtype=dtype)[None, :] + flow[..., 0]
@@ -76,10 +81,11 @@ def _warp_single(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     v10 = _gather_hw(img, y1c, x0c)
     v11 = _gather_hw(img, y1c, x1c)
 
-    w00 = ((1 - wy) * (1 - wx) * m00)[..., None]
-    w01 = ((1 - wy) * wx * m01)[..., None]
-    w10 = (wy * (1 - wx) * m10)[..., None]
-    w11 = (wy * wx * m11)[..., None]
+    vd = img.dtype
+    w00 = ((1 - wy) * (1 - wx) * m00)[..., None].astype(vd)
+    w01 = ((1 - wy) * wx * m01)[..., None].astype(vd)
+    w10 = (wy * (1 - wx) * m10)[..., None].astype(vd)
+    w11 = (wy * wx * m11)[..., None].astype(vd)
 
     return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
 
@@ -101,4 +107,4 @@ def backward_warp(img: jnp.ndarray, flow: jnp.ndarray, use_pallas: bool = False)
         from superslomo_tpu.ops.warp_pallas import backward_warp_pallas
 
         return backward_warp_pallas(img, flow)
-    return jax.vmap(_warp_single)(img, flow.astype(img.dtype))
+    return jax.vmap(_warp_single)(img, flow)

@@ -67,20 +67,31 @@ def _gather_row_chunk(rows: jnp.ndarray, idx: jnp.ndarray, j0: int):
     return acc
 
 
-def _warp_kernel(*refs, h_total: int, w_total: int, n_chan: int):
+def _warp_kernel(*refs, h_total: int, w_total: int, n_chan: int, sub: int):
     """refs = (img_0..img_{C-1}, u, v, out_0..out_{C-1}).
 
     img_c: full (Hpad, Wl) planes in VMEM, zero-padded _BAND rows top and
     bottom (row y of the image lives at img[y + _BAND]). u/v/out blocks:
     (_HB, Wl), grid over row blocks. All channels share one pass of index
     math, flow loads, and d-loop control — only the gathers repeat per
-    channel."""
+    channel.
+
+    Index/weight math is ALWAYS f32 (u/v arrive f32): sample positions up
+    to W=1280 px would lose whole pixels in bf16's 8-bit mantissa. Planes
+    may be stored bf16 — halving VMEM lets all 3 channels share ONE kernel
+    at 720p (one index-math pass instead of three) — but gathers/compute
+    run f32: Mosaic's dynamic_gather requires index and value bitwidths to
+    match, so each block load upcasts once per row group (amortized over
+    the ``sub`` sub-offsets it serves). Outputs are always f32; the caller
+    casts back. ``sub`` is the dynamic-sublane alignment of the plane
+    dtype: 8 rows for f32, 16 for bf16."""
     img_refs = refs[:n_chan]
     u_ref, v_ref = refs[n_chan], refs[n_chan + 1]
     out_refs = refs[n_chan + 2 :]
     HB, Wl = out_refs[0].shape
     nseg = Wl // _LANES
-    dtype = out_refs[0].dtype
+    dtype = out_refs[0].dtype  # f32: gather/accumulate dtype
+    f32 = jnp.float32
     r0 = pl.program_id(0) * HB
 
     for k in range(nseg):
@@ -89,13 +100,13 @@ def _warp_kernel(*refs, h_total: int, w_total: int, n_chan: int):
         v = v_ref[:, sl]
 
         xx = jax.lax.broadcasted_iota(jnp.int32, (HB, _LANES), 1) + k * _LANES
-        sx = xx.astype(dtype) + u
+        sx = xx.astype(f32) + u
         x0f = jnp.floor(sx)
         wx = sx - x0f
         x0 = x0f.astype(jnp.int32)
 
         yy = jax.lax.broadcasted_iota(jnp.int32, (HB, _LANES), 0) + r0
-        sy = yy.astype(dtype) + v
+        sy = yy.astype(f32) + v
         y0f = jnp.floor(sy)
         wy = sy - y0f
         y0 = y0f.astype(jnp.int32)
@@ -106,22 +117,23 @@ def _warp_kernel(*refs, h_total: int, w_total: int, n_chan: int):
         in_y0 = (y0 >= 0) & (y0 < h_total)
         in_y1 = (y0 + 1 >= 0) & (y0 + 1 < h_total)
 
-        w00 = jnp.where(in_y0 & in_x0, (1 - wy) * (1 - wx), 0).astype(dtype)
-        w01 = jnp.where(in_y0 & in_x1, (1 - wy) * wx, 0).astype(dtype)
-        w10 = jnp.where(in_y1 & in_x0, wy * (1 - wx), 0).astype(dtype)
-        w11 = jnp.where(in_y1 & in_x1, wy * wx, 0).astype(dtype)
+        w00 = jnp.where(in_y0 & in_x0, (1 - wy) * (1 - wx), 0)
+        w01 = jnp.where(in_y0 & in_x1, (1 - wy) * wx, 0)
+        w10 = jnp.where(in_y1 & in_x0, wy * (1 - wx), 0)
+        w11 = jnp.where(in_y1 & in_x1, wy * wx, 0)
 
         x0c = jnp.clip(x0, 0, w_total - 1)
         x1c = jnp.clip(x0 + 1, 0, w_total - 1)
 
         # Only offsets in [min(dfield), max(dfield)+1] can contribute
         # (+1: y0+1 contributions live at d = dfield + 1). The loop walks
-        # 8-aligned row groups: ONE (HB+8)-row block load (dynamic sublane
-        # loads must be 8-aligned) serves the 8 sub-offsets inside it.
+        # sub-aligned row groups: ONE (HB+sub)-row block load (dynamic
+        # sublane loads must be tile-aligned) serves the sub sub-offsets
+        # inside it.
         dlo = jnp.maximum(jnp.min(dfield), -_BAND)
         dhi = jnp.minimum(jnp.max(dfield) + 1, _BAND + 1)
-        qlo = jnp.floor_divide(dlo, 8)
-        qhi = jnp.floor_divide(dhi, 8)
+        qlo = jnp.floor_divide(dlo, sub)
+        qhi = jnp.floor_divide(dhi, sub)
 
         # lane segments the x-gather can touch for this chunk
         j0 = max(0, k - _U_SEG)
@@ -133,17 +145,20 @@ def _warp_kernel(*refs, h_total: int, w_total: int, n_chan: int):
 
         def body(i, carry):
             q = qlo + i
-            base = pl.multiple_of(r0 + _BAND + 8 * q, 8)
-            blks = [img_ref[pl.ds(base, HB + 8), lanes] for img_ref in img_refs]
-            for s in range(8):
-                d = 8 * q + s
+            base = pl.multiple_of(r0 + _BAND + sub * q, sub)
+            blks = [
+                img_ref[pl.ds(base, HB + sub), lanes].astype(dtype)
+                for img_ref in img_refs
+            ]
+            for s in range(sub):
+                d = sub * q + s
 
                 @pl.when((d >= dlo) & (d <= dhi))
                 def _(s=s, d=d):
-                    m0 = (dfield == d).astype(dtype)
-                    m1 = (dfield + 1 == d).astype(dtype)
-                    g0 = m0 * w00 + m1 * w10
-                    g1 = m0 * w01 + m1 * w11
+                    m0 = (dfield == d).astype(f32)
+                    m1 = (dfield + 1 == d).astype(f32)
+                    g0 = (m0 * w00 + m1 * w10).astype(dtype)
+                    g1 = (m0 * w01 + m1 * w11).astype(dtype)
                     for blk, out_ref in zip(blks, out_refs):
                         rows = jax.lax.slice_in_dim(blk, s, s + HB, axis=0)
                         c0 = _gather_row_chunk(rows, x0c, j0)
@@ -159,17 +174,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _sublane(dtype) -> int:
+    """Dynamic-sublane alignment for a plane dtype (f32: 8, bf16: 16)."""
+    return {4: 8, 2: 16}[jnp.dtype(dtype).itemsize]
+
+
 def _warp_image(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Warp one (H, W, C) image by (H, W, 2) flow — all channels in ONE
-    kernel so index math, flow loads, and loop control amortize."""
+    """Warp one (H, W, C) image by (H, W, 2) f32 flow — all channels in ONE
+    kernel so index math, flow loads, and loop control amortize. Planes may
+    be f32 or bf16 (index math stays f32 either way)."""
     H, W, C = img.shape
+    sub = _sublane(img.dtype)
+    flow = flow.astype(jnp.float32)
     Wl = _round_up(W, _LANES)
     Hp = _round_up(H, _HB)
 
-    # the d loop reaches _BAND + 1 and the aligned block load spans _HB + 8
-    # rows from base ≤ (Hp - _HB) + _BAND + 8·ceil((_BAND+1)/8), so pad with
-    # 16 extra rows beyond the band and round to the 8-sublane tile
-    Hpad = _round_up(Hp + 2 * _BAND + 16, 8)
+    # the d loop reaches _BAND + 1 and the aligned block load spans
+    # _HB + sub rows from base ≤ (Hp - _HB) + _BAND + sub·ceil((_BAND+1)/sub),
+    # so pad 2·sub extra rows beyond the band and round to the sublane tile
+    Hpad = _round_up(Hp + 2 * _BAND + 2 * sub, sub)
     planes = [
         jnp.pad(img[..., c], ((_BAND, Hpad - H - _BAND), (0, Wl - W)))
         for c in range(C)
@@ -180,13 +203,14 @@ def _warp_image(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     plane_spec = pl.BlockSpec((Hpad, Wl), lambda i: (0, 0), memory_space=pltpu.VMEM)
     block_spec = pl.BlockSpec((_HB, Wl), lambda i: (i, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_warp_kernel, h_total=H, w_total=W, n_chan=C),
+        functools.partial(_warp_kernel, h_total=H, w_total=W, n_chan=C, sub=sub),
         grid=(Hp // _HB,),
         in_specs=[plane_spec] * C + [block_spec, block_spec],
         out_specs=[block_spec] * C,
-        out_shape=[jax.ShapeDtypeStruct((Hp, Wl), img.dtype)] * C,
+        # outputs are f32 regardless of plane dtype (gathers run f32)
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wl), jnp.float32)] * C,
     )(*planes, u, v)
-    return jnp.stack([o[:H, :W] for o in outs], axis=-1)
+    return jnp.stack([o[:H, :W] for o in outs], axis=-1).astype(img.dtype)
 
 
 # The kernel keeps the padded channel planes in VMEM. Budgets leave room for
@@ -197,7 +221,8 @@ _VMEM_SINGLE_BUDGET = 6_500_000  # one plane resident (verified at 720p f32)
 
 
 def fits_vmem(h: int, w: int, itemsize: int = 4, n_chan: int = 3) -> bool:
-    Hpad = _round_up(_round_up(h, _HB) + 2 * _BAND + 16, 8)
+    sub = {4: 8, 2: 16}[itemsize]
+    Hpad = _round_up(_round_up(h, _HB) + 2 * _BAND + 2 * sub, sub)
     Wl = _round_up(w, _LANES)
     budget = _VMEM_SINGLE_BUDGET if n_chan == 1 else _VMEM_MULTI_BUDGET
     return n_chan * Hpad * Wl * itemsize <= budget
@@ -281,8 +306,9 @@ def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     XLA gather (ops/warp.py), so arbitrary-magnitude flows are always correct
     — fast motion at 1080p degrades to the slower exact path instead of
     silently contributing zeros. Also falls back statically for planes too
-    large to hold in VMEM."""
-    flow = flow.astype(img.dtype)
+    large to hold in VMEM. The flow is always f32 (sample positions lose
+    whole pixels in bf16); images may be f32 or bf16."""
+    flow = flow.astype(jnp.float32)
     path = _pallas_dispatch(img, flow)
     if path is None:
         return warp_ref.backward_warp(img, flow)

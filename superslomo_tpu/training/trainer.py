@@ -261,6 +261,11 @@ class Trainer:
                     self.writer.add_scalars("Learning_Rate", {"TRAIN": lr}, step)
                 t0 = time.time()
                 for frames, targets, t in prefetch_to_device(iter(loader), sharding=data_sh):
+                    if step == state.step:  # first batch: validate the feed
+                        from superslomo_tpu.utils.validators import check_forward_inputs
+
+                        check_forward_inputs(frames, targets, np.asarray(t),
+                                             self.spec.n_frames)
                     step += 1
                     params, opt_state, loss_vec = self._train_step(
                         params, opt_state, self.vgg_params,

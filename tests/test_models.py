@@ -147,3 +147,71 @@ class TestSuperSloMo:
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
         total = sum(float(jnp.abs(l).sum()) for l in leaves)
         assert total > 0
+
+
+def test_remat_forward_and_grads_match(rng):
+    """[TPU] REMAT rematerializes activations without changing values."""
+    import jax
+    import jax.numpy as jnp
+
+    from superslomo_tpu.config import ModelSpec
+    from superslomo_tpu.models.superslomo import SuperSloMo
+
+    frames = jnp.asarray(rng.standard_normal((1, 2, 32, 32, 3)), jnp.float32)
+    t = jnp.full((1, 1), 0.5)
+    m0 = SuperSloMo(spec=ModelSpec(n_frames=2, remat=False))
+    m1 = SuperSloMo(spec=ModelSpec(n_frames=2, remat=True))
+    params = m0.init(jax.random.PRNGKey(0), frames, t)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, frames, t).pred_images ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        g0, g1,
+    )
+
+
+def test_clstm_layout_variants(rng):
+    """merge=sum uses full hidden per direction; gate_order permutations run
+    and change the function (checkpoint-portability contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superslomo_tpu.models.bottleneck import BiConvRNN
+
+    x = jnp.asarray(rng.standard_normal((1, 3, 2, 2, 8)), jnp.float32)
+    concat = BiConvRNN(hidden_channels=8, num_layers=1, cell="CLSTM", merge="concat")
+    pc = concat.init(jax.random.PRNGKey(0), x)
+    out_c, _ = concat.apply(pc, x)
+    assert out_c.shape == (1, 3, 2, 2, 8)
+    # concat: 4 hidden per direction → gates conv 4*4=16 out channels
+    assert pc["params"]["fwd_l0"]["gates"]["kernel"].shape[-1] == 16
+
+    summed = BiConvRNN(hidden_channels=8, num_layers=1, cell="CLSTM", merge="sum")
+    ps = summed.init(jax.random.PRNGKey(0), x)
+    out_s, _ = summed.apply(ps, x)
+    assert out_s.shape == (1, 3, 2, 2, 8)
+    # sum: full 8 hidden per direction → gates conv 32 out channels
+    assert ps["params"]["fwd_l0"]["gates"]["kernel"].shape[-1] == 32
+
+    flipped = BiConvRNN(hidden_channels=8, num_layers=1, cell="CLSTM",
+                        merge="concat", gate_order="ofig")
+    out_f, _ = flipped.apply(pc, x)  # same params, different gate packing
+    assert float(jnp.abs(out_f - out_c).max()) > 1e-4
+
+
+def test_converted_shape_mismatch_is_loud(rng):
+    """A checkpoint whose ConvLSTM layout disagrees with the model must fail
+    with a pointer to the CLSTM_MERGE knob, not load garbage."""
+    import pytest as _pytest
+
+    from superslomo_tpu.training.checkpoint import check_converted_shapes
+
+    template = {"conv6": {"fwd_l0": {"gates": {"kernel": np.zeros((3, 3, 12, 16))}}}}
+    loaded = {"conv6": {"fwd_l0": {"gates": {"kernel": np.zeros((3, 3, 16, 32))}}}}
+    with _pytest.raises(ValueError, match="CLSTM_MERGE"):
+        check_converted_shapes(loaded, template, "stage1")

@@ -20,17 +20,22 @@ requires_tpu = pytest.mark.skipif(
 
 @requires_tpu
 @pytest.mark.parametrize("shape", [(1, 64, 128, 3), (2, 100, 200, 3)])
-def test_pallas_warp_matches_xla(shape):
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_pallas_warp_matches_xla(shape, dtype):
+    """f32: exact vs the XLA gather. bf16: values quantized, positions f32 —
+    must match the XLA mixed-precision path exactly (same arithmetic)."""
     from superslomo_tpu.ops.warp import backward_warp
     from superslomo_tpu.ops.warp_pallas import backward_warp_pallas
 
     B, H, W, C = shape
+    dt = jnp.dtype(dtype)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    img = jnp.asarray(rng.standard_normal(shape, dtype=np.float32)).astype(dt)
     flow = jnp.asarray((rng.standard_normal((B, H, W, 2)) * 7).astype(np.float32))
-    ref = np.asarray(backward_warp(img, flow))
-    out = np.asarray(backward_warp_pallas(img, flow))
-    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+    ref = np.asarray(backward_warp(img, flow).astype(jnp.float32))
+    out = np.asarray(backward_warp_pallas(img, flow).astype(jnp.float32))
+    tol = 1e-5 if dtype == "float32" else 3e-2
+    np.testing.assert_allclose(out, ref, atol=tol, rtol=tol)
 
 
 @requires_tpu
