@@ -47,6 +47,35 @@ def ref_models():
     return ref_fc, ref_fi
 
 
+@pytest.fixture(scope="module")
+def ref_full_model(ref_models):
+    """Import the reference's composite FullModel (superslomo_r). Its losses
+    module needs torchvision (absent in this image) only for the perceptual
+    VGG — stub it with an identity feature stack; the inference path under
+    test never touches it."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+
+        def _fake_vgg16(pretrained=False, **kw):
+            net = torch.nn.Module()
+            net.features = torch.nn.Sequential(
+                *[torch.nn.Identity() for _ in range(23)]
+            )
+            return net
+
+        tv_models.vgg16 = _fake_vgg16
+        tv.models = tv_models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+    # the reference hard-codes .cuda() in get_stage2_outputs
+    # (superslomo_r.py:211); run it on CPU torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    import models.superslomo_r as ref_ssmr
+
+    return ref_ssmr
+
+
 def _ref_cfg():
     from superslomo_tpu.config import default_config
 
@@ -170,3 +199,53 @@ def test_physics_match_reference(ref_models):
     np.testing.assert_allclose(
         np.asarray(img_t), _to_nhwc(img_t_ref), atol=1e-5, rtol=1e-4
     )
+
+
+def test_full_model_inference_matches_reference(ref_full_model):
+    """END-TO-END: the reference FullModel's inference forward (pairing →
+    stage-1 → physics at t → stage-2 with cross skip → visibility blend),
+    executed, == SuperSloMo.apply through the ported weights. The strongest
+    parity evidence available without the published checkpoints."""
+    import jax.numpy as jnp
+
+    from superslomo_tpu.config import ModelSpec, default_config
+    from superslomo_tpu.models.superslomo import SuperSloMo, forward_inference
+
+    cfg = default_config()  # CONV bottleneck, N_FRAMES=2, CROSS_SKIP=TRUE
+    torch.manual_seed(7)
+    ref = ref_full_model.FullModel(cfg).eval()
+
+    B, T, H, W = 1, 2, 64, 96
+    rng = np.random.default_rng(7)
+    frames = rng.standard_normal((B, T, 3, H, W)).astype(np.float32)
+    t_val = 0.375
+    t_ref = torch.full((B, T - 1, 1, 1, 1), t_val)
+    with torch.no_grad():
+        est_ref, inter_ref = ref(
+            torch.from_numpy(frames), t_ref, inference_mode=True
+        )
+
+    params = {
+        "params": {
+            "stage1": _convert_stage(ref.stage1_model.state_dict()),
+            "stage2": _convert_stage(ref.stage2_model.state_dict()),
+        }
+    }
+    model = SuperSloMo(spec=ModelSpec(n_frames=2))
+    frames_nhwc = jnp.asarray(frames.transpose(0, 1, 3, 4, 2))
+    t_ours = jnp.full((B, T - 1), t_val, jnp.float32)
+    est, inter, _ = forward_inference(model, params, frames_nhwc, t_ours)
+
+    np.testing.assert_allclose(
+        np.asarray(est), _to_nhwc(est_ref), atol=5e-4, rtol=1e-3
+    )
+    # intermediates: stage-1 flows + visibility map (reference tuple order:
+    # flowC_01, flowC_10, est_flow_t1, est_flow_t0, refined_t1, refined_t0, v_0t)
+    for ours, theirs in zip(
+        [inter.flowC_01, inter.flowC_10, inter.est_flow_t1, inter.est_flow_t0,
+         inter.refined_flow_t1, inter.refined_flow_t0, inter.v_0t],
+        inter_ref,
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours), _to_nhwc(theirs), atol=5e-4, rtol=1e-3
+        )
