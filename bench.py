@@ -69,8 +69,10 @@ def build_multi_t_step(h, w, n_t, compute_dtype):
     frames = jnp.asarray(rng.standard_normal((1, 2, h, w, 3), dtype=np.float32))
     t_values = jnp.arange(1, n_t + 1, dtype=jnp.float32) / (n_t + 1)
     params = model.init(jax.random.PRNGKey(0), frames, jnp.full((1, 1), 0.5))
+    # the production eval fast path: unguarded warps + host-checked bound
     step = jax.jit(
-        lambda p, f: model.apply(p, f, t_values, method=SuperSloMo.interpolate_multi_t)
+        lambda p, f: model.apply(p, f, t_values, with_bounds=True,
+                                 method=SuperSloMo.interpolate_multi_t)[0]
     )
     return step, params, frames
 

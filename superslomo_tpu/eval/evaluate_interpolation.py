@@ -64,13 +64,20 @@ class Evaluator:
         self.mesh = mesh
         self.n_data = 1
 
-        def run(p, frames):
+        def run(p, frames, with_bounds):
             return self.model.apply(
-                p, frames, self.t_values, method=SuperSloMo.interpolate_multi_t
+                p, frames, self.t_values, with_bounds=with_bounds,
+                method=SuperSloMo.interpolate_multi_t,
             )
 
         if mesh is None:
-            self._step = jax.jit(run)
+            # fast path: unguarded warp kernels + the max-|flow| bound
+            # returned for a host-side check (the in-graph guard's
+            # conditional costs more than the warp kernels at 720p)
+            self._step = jax.jit(lambda p, f: run(p, f, True))
+            # guarded fallback for the rare out-of-band batch; compiled
+            # only if ever needed
+            self._safe_step = jax.jit(lambda p, f: run(p, f, False))
         else:
             from superslomo_tpu import ops as _ops
             from superslomo_tpu.parallel.mesh import batch_sharding, replicated
@@ -78,15 +85,18 @@ class Evaluator:
             self.n_data = int(mesh.shape["data"])
             self._data_sh = batch_sharding(mesh)
 
-            def run_sharded(p, frames):
+            def run_sharded(p, frames, with_bounds):
                 # trace-time context: warps run as shard_map islands
                 with _ops.warp_mesh(mesh):
-                    return run(p, frames)
+                    return run(p, frames, with_bounds)
 
+            shardings = dict(in_shardings=(replicated(mesh), self._data_sh))
             self._step = jax.jit(
-                run_sharded,
-                in_shardings=(replicated(mesh), self._data_sh),
-                out_shardings=self._data_sh,
+                lambda p, f: run_sharded(p, f, True), **shardings
+            )
+            self._safe_step = jax.jit(
+                lambda p, f: run_sharded(p, f, False),
+                out_shardings=self._data_sh, **shardings
             )
 
     def get_dims(self):
@@ -129,7 +139,14 @@ class Evaluator:
             frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
         if self.mesh is not None:
             frames = jax.device_put(jnp.asarray(frames), self._data_sh)
-        out = self._step(self.params, jnp.asarray(frames, jnp.float32))
+        frames = jnp.asarray(frames, jnp.float32)
+        out, bound = self._step(self.params, frames)
+        out, bound = jax.device_get((out, bound))  # one host round trip
+        if float(bound) > 128.0:
+            # out-of-band motion: rerun through the guarded program so every
+            # warp is exact regardless of magnitude (cond-guarded fallback)
+            log.info("flow bound %.1f px > 128: guarded rerun", float(bound))
+            out = np.asarray(self._safe_step(self.params, frames))
         out = np.asarray(out)[:B]  # (B, n_t, H, W, 3)
         # reference validators.py:98-105
         from superslomo_tpu.utils.validators import check_eval_result_count

@@ -41,7 +41,7 @@ def interpolate_flows(flow_pred: jnp.ndarray, t) -> tuple[jnp.ndarray, jnp.ndarr
 
 
 def compute_stage2_inputs(
-    img_pair: jnp.ndarray, flow_pred: jnp.ndarray, t, warp_dtype=None
+    img_pair: jnp.ndarray, flow_pred: jnp.ndarray, t, warp_dtype=None, in_band=None
 ) -> jnp.ndarray:
     """Build the 16-channel stage-2 input tensor (flow_interpolation.py:338-372).
 
@@ -60,11 +60,15 @@ def compute_stage2_inputs(
     img_1 = img_pair[..., 3:6]
     if warp_dtype is not None and jnp.dtype(warp_dtype) != img_pair.dtype:
         wd = jnp.dtype(warp_dtype)
-        warped_img_1t = backward_warp(img_1.astype(wd), est_flow_t1).astype(img_pair.dtype)
-        warped_img_0t = backward_warp(img_0.astype(wd), est_flow_t0).astype(img_pair.dtype)
+        warped_img_1t = backward_warp(
+            img_1.astype(wd), est_flow_t1, in_band=in_band
+        ).astype(img_pair.dtype)
+        warped_img_0t = backward_warp(
+            img_0.astype(wd), est_flow_t0, in_band=in_band
+        ).astype(img_pair.dtype)
     else:
-        warped_img_1t = backward_warp(img_1, est_flow_t1)
-        warped_img_0t = backward_warp(img_0, est_flow_t0)
+        warped_img_1t = backward_warp(img_1, est_flow_t1, in_band=in_band)
+        warped_img_0t = backward_warp(img_0, est_flow_t0, in_band=in_band)
     return jnp.concatenate(
         [img_1, warped_img_1t, est_flow_t1, est_flow_t0, warped_img_0t, img_0],
         axis=-1,
@@ -87,11 +91,13 @@ def extract_stage2_outputs(output_tensor: jnp.ndarray) -> Stage2Outputs:
     return Stage2Outputs(v_1t, dflow_t1, dflow_t0, 1.0 - v_1t)
 
 
-def compute_output_image(
+def compute_output_image_from_flows(
     img_pair: jnp.ndarray,
-    stage2_input: jnp.ndarray,
+    est_flow_t1: jnp.ndarray,
+    est_flow_t0: jnp.ndarray,
     stage2_output: jnp.ndarray,
     t,
+    in_band=None,
 ) -> jnp.ndarray:
     """Refine flows, warp both frames, and blend with visibility weights.
 
@@ -99,10 +105,10 @@ def compute_output_image(
           / ((1-t)·V_0t + t·V_1t)
     (flow_interpolation.py:394-429; no epsilon in the denominator — the
     sigmoid keeps it strictly positive, and we preserve the reference's
-    numerics for parity.)
+    numerics for parity.) The est flows arrive as separate f32 tensors so
+    the stage-2 U-Net input can live in bf16 without quantizing the flows
+    the final image is sampled with.
     """
-    est_flow_t1 = stage2_input[..., 6:8]
-    est_flow_t0 = stage2_input[..., 8:10]
     img_0 = img_pair[..., 0:3]
     img_1 = img_pair[..., 3:6]
 
@@ -110,12 +116,29 @@ def compute_output_image(
     pred_flow_t1 = est_flow_t1 + outs.dflow_t1
     pred_flow_t0 = est_flow_t0 + outs.dflow_t0
 
-    pred_img_0t = backward_warp(img_0, pred_flow_t0) * outs.v_0t
-    pred_img_1t = backward_warp(img_1, pred_flow_t1) * outs.v_1t
+    pred_img_0t = backward_warp(img_0, pred_flow_t0, in_band=in_band) * outs.v_0t
+    pred_img_1t = backward_warp(img_1, pred_flow_t1, in_band=in_band) * outs.v_1t
 
     weighted_sum = (1.0 - t) * pred_img_0t + t * pred_img_1t
     normalization = (1.0 - t) * outs.v_0t + t * outs.v_1t
     return weighted_sum / normalization
+
+
+def compute_output_image(
+    img_pair: jnp.ndarray,
+    stage2_input: jnp.ndarray,
+    stage2_output: jnp.ndarray,
+    t,
+) -> jnp.ndarray:
+    """Reference-shaped variant reading the est flows from the 16-channel
+    stage-2 input (flow_interpolation.py:394-429)."""
+    return compute_output_image_from_flows(
+        img_pair,
+        stage2_input[..., 6:8],
+        stage2_input[..., 8:10],
+        stage2_output,
+        t,
+    )
 
 
 def refined_flows(stage2_input: jnp.ndarray, stage2_output: jnp.ndarray):

@@ -172,6 +172,7 @@ class SuperSloMo(nn.Module):
         frames: jnp.ndarray,
         t_values: jnp.ndarray,
         rnn_carry: Optional[dict] = None,
+        with_bounds: bool = False,
     ) -> jnp.ndarray:
         """The fused multi-t interpolation step (the "8x slow-mo" path).
 
@@ -182,15 +183,41 @@ class SuperSloMo(nn.Module):
 
         :param frames: (B, T, H, W, 3) normalized frames.
         :param t_values: (n_t,) interpolation instants in (0, 1).
-        :returns: (B, n_t, H, W, 3) mid-window interpolations, one per t.
+        :param with_bounds: trace the warps WITHOUT the in-band lax.cond
+            guard (whose conditional operand copies cost more than the warp
+            kernels at 720p) and additionally return the max-|flow| bound
+            scalar. The caller MUST check it host-side — off the critical
+            path — and rerun the rare out-of-band batch through the guarded
+            program (eval/evaluate_interpolation.py does this pipelined).
+        :returns: (B, n_t, H, W, 3) mid-window interpolations, one per t;
+            with ``with_bounds``, a ``(pred, bound)`` tuple.
         """
+        if with_bounds:
+            from superslomo_tpu import ops as _ops
+
+            with _ops.unguarded_warps():
+                return self._interpolate_multi_t(
+                    frames, t_values, rnn_carry, with_bounds=True
+                )
+        return self._interpolate_multi_t(frames, t_values, rnn_carry)
+
+    def _interpolate_multi_t(
+        self, frames, t_values, rnn_carry=None, with_bounds: bool = False
+    ):
         pairs = make_pairs(frames)
         B, W_n, H, W_, C = pairs.shape
         n_t = t_values.shape[0]
+        cdt = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else jnp.float32
 
         carry1 = rnn_carry.get("stage1") if rnn_carry else None
-        flowC_out, encoding, _ = self.stage1(pairs, rnn_carry=carry1)
-        flowC_out = flowC_out.astype(jnp.float32)
+        flowC_raw, encoding, _ = self.stage1(pairs, rnn_carry=carry1)
+        flowC_out = flowC_raw.astype(jnp.float32)
+        # One cheap reduce over the raw (compute-dtype) stage-1 flow bounds
+        # EVERY derived est flow for the warp-band guard: |F̂_t0| ≤ t·M and
+        # |F̂_t1| ≤ (1-t)·M for M = max|F_01, F_10| — no per-warp 40 MB
+        # reduce. (The f32 flow is the exact upcast, so max matches.)
+        boundC = jnp.max(jnp.abs(flowC_raw)).astype(jnp.float32)
+        in_band_est = boundC <= 128.0
 
         # Fold the t-grid into the batch axis, SAMPLE-major: (B*n_t, T-1,
         # ...). Keeping the original batch as the leading-dim major order
@@ -201,28 +228,79 @@ class SuperSloMo(nn.Module):
                 x[:, None], (B, n_t) + x.shape[1:]
             ).reshape((B * n_t,) + x.shape[1:])
 
-        pairs_t = tile(pairs)
-        flow_t = tile(flowC_out)
         enc_t = tile(encoding) if encoding is not None else None
         # t for sample b*n_t + k, window w is t_values[k]
         t = jnp.tile(t_values, B).reshape(B * n_t, 1, 1, 1, 1)
         t = jnp.broadcast_to(t, (B * n_t, W_n, 1, 1, 1))
 
-        fold = lambda x: x.reshape((B * n_t * W_n,) + x.shape[2:])
-        wd = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else None
-        flowI_in = physics.compute_stage2_inputs(
-            fold(pairs_t), fold(flow_t), fold(t), warp_dtype=wd
-        ).reshape(B * n_t, W_n, H, W_, 16)
+        from superslomo_tpu.ops import warp_multiflow
+
+        # est flows in f32 WITHOUT materializing a tiled flow tensor: the
+        # per-t flows are scalar combinations of the same F_01/F_10, so
+        # broadcast t over an inserted axis instead (same expression tree
+        # as physics.interpolate_flows — bit-identical per sample). Layout
+        # (B, W_n, n_t, ...) so the multi-flow warp below groups the n_t
+        # flows of each frame pair without a transpose.
+        t_col = t_values.reshape(1, 1, n_t, 1, 1, 1)
+        est_t0, est_t1 = physics.interpolate_flows(flowC_out[:, :, None], t_col)
+        est_t0 = est_t0.reshape(B * W_n, n_t, H, W_, 2)
+        est_t1 = est_t1.reshape(B * W_n, n_t, H, W_, 2)
+
+        # Stage-2 U-Net input in the compute dtype (bf16 on TPU): the convs
+        # consume it at that precision anyway, and halving these full-res
+        # tensors halves the dominant HBM traffic of the step. The f32 est
+        # flows above are what the final image is sampled with. The warps
+        # run ONE multi-flow kernel per frame/direction: the image planes
+        # sit in VMEM once and all n_t flows gather from them.
+        cpairs = pairs.reshape(B * W_n, H, W_, 6).astype(cdt)
+        img_0, img_1 = cpairs[..., 0:3], cpairs[..., 3:6]
+        w1t = warp_multiflow(img_1, est_t1, in_band=in_band_est)
+        w0t = warp_multiflow(img_0, est_t0, in_band=in_band_est)
+
+        def tile_t(x):  # (B*W_n, H, W, c) → (B*W_n, n_t, H, W, c)
+            return jnp.broadcast_to(x[:, None], (B * W_n, n_t) + x.shape[1:])
+
+        flowI_in = jnp.concatenate(
+            [tile_t(img_1), w1t, est_t1.astype(cdt), est_t0.astype(cdt),
+             w0t, tile_t(img_0)],
+            axis=-1,
+        ).reshape(B, W_n, n_t, H, W_, 16)
+        # → (B*n_t, W_n, ...) for the U-Net (t-major within each sample);
+        # W_n == 1 for the flagship 2-frame model, so this is a pure reshape
+        flowI_in = jnp.swapaxes(flowI_in, 1, 2).reshape(B * n_t, W_n, H, W_, 16)
 
         carry2 = rnn_carry.get("stage2") if rnn_carry else None
-        flowI_out, _, _ = self.stage2(flowI_in, cross_encoding=enc_t, rnn_carry=carry2)
-        flowI_out = flowI_out.astype(jnp.float32)
+        flowI_out_raw, _, _ = self.stage2(
+            flowI_in, cross_encoding=enc_t, rnn_carry=carry2
+        )
+        # refined flows = est + Δ, so boundC + max|Δ| bounds the final warps
+        bound_ref = boundC + jnp.max(jnp.abs(flowI_out_raw[..., 1:5])).astype(
+            jnp.float32
+        )
+        in_band_ref = bound_ref <= 128.0
 
         mid = W_n // 2
-        pred = physics.compute_output_image(
-            pairs_t[:, mid], flowI_in[:, mid], flowI_out[:, mid], t[:, mid]
-        )
-        return pred.reshape(B, n_t, H, W_, 3)
+        outs = physics.extract_stage2_outputs(
+            flowI_out_raw.astype(jnp.float32)[:, mid]
+        )  # (B*n_t, H, W, ...)
+        grp = lambda x: x.reshape(B, n_t, H, W_, -1)
+        est_t1_mid = est_t1.reshape(B, W_n, n_t, H, W_, 2)[:, mid]
+        est_t0_mid = est_t0.reshape(B, W_n, n_t, H, W_, 2)[:, mid]
+        pred_flow_t1 = est_t1_mid + grp(outs.dflow_t1)
+        pred_flow_t0 = est_t0_mid + grp(outs.dflow_t0)
+
+        # final-image warps in f32 (quality); multi-flow kernels again
+        mid_pairs = pairs[:, mid]
+        w0 = warp_multiflow(mid_pairs[..., 0:3], pred_flow_t0, in_band=in_band_ref)
+        w1 = warp_multiflow(mid_pairs[..., 3:6], pred_flow_t1, in_band=in_band_ref)
+        v_0t, v_1t = grp(outs.v_0t), grp(outs.v_1t)
+        t_g = t_values.reshape(1, n_t, 1, 1, 1)
+        weighted = (1.0 - t_g) * (w0 * v_0t) + t_g * (w1 * v_1t)
+        norm = (1.0 - t_g) * v_0t + t_g * v_1t
+        pred = weighted / norm
+        if with_bounds:
+            return pred, jnp.maximum(boundC, bound_ref)
+        return pred
 
 
 def intermediates_for_window(outputs: ModelOutputs, window: int) -> Intermediates:

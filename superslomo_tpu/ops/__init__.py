@@ -13,6 +13,7 @@ from superslomo_tpu.ops.resize import upsample_2x_bilinear  # noqa: F401
 
 _PALLAS_WARP_OVERRIDE = None  # None = AUTO (TPU → Pallas kernel)
 _WARP_MESH = None  # set inside sharded step bodies via warp_mesh()
+_GUARD_DISABLED = False  # set inside unguarded_warps()
 
 
 def set_pallas_warp(enabled):
@@ -45,15 +46,70 @@ def warp_mesh(mesh):
         _WARP_MESH = prev
 
 
-def warp_auto(img, flow):
-    """Backward warp with platform- and mesh-appropriate kernel selection."""
+@contextlib.contextmanager
+def unguarded_warps():
+    """Trace warps WITHOUT the in-band lax.cond guard.
+
+    The cond itself is expensive on TPU (~7 ms of conditional operand
+    copies per 720p warp group — more than the kernel), so the fast
+    inference path traces unguarded kernels and instead RETURNS the flow
+    bound to the host (SuperSloMo.interpolate_multi_t(..., with_bounds=
+    True)); the caller checks it off the critical path and reruns the rare
+    out-of-band batch through the guarded program
+    (eval/evaluate_interpolation.py). Exactness is preserved at the
+    protocol level; only callers that implement the check may use this."""
+    global _GUARD_DISABLED
+    prev = _GUARD_DISABLED
+    _GUARD_DISABLED = True
+    try:
+        yield
+    finally:
+        _GUARD_DISABLED = prev
+
+
+def warp_multiflow(img, flows, in_band=None):
+    """(B, H, W, C) x (B, n, H, W, 2) → (B, n, H, W, C): one image warped by
+    n flow fields. On TPU the Pallas kernel shares one VMEM copy of the
+    image planes across all n warps (the fused multi-t step's shape); on
+    CPU it is the tiled XLA gather."""
+    import jax
+    import jax.numpy as jnp
+
+    if _WARP_MESH is not None:
+        from superslomo_tpu.parallel.warp_spmd import warp_multiflow_sharded
+
+        return warp_multiflow_sharded(img, flows, _WARP_MESH, in_band=in_band)
+    use = _PALLAS_WARP_OVERRIDE
+    if use is None:
+        use = jax.default_backend() == "tpu"
+    if use:
+        from superslomo_tpu.ops.warp_pallas import backward_warp_multiflow
+
+        return backward_warp_multiflow(img, flows, in_band=in_band,
+                                       unguarded=_GUARD_DISABLED)
+    B, n, H, W, _ = flows.shape
+    C = img.shape[-1]
+    tiled = jnp.broadcast_to(img[:, None], (B, n, H, W, C)).reshape(B * n, H, W, C)
+    out = backward_warp(tiled, flows.reshape(B * n, H, W, 2))
+    return out.reshape(B, n, H, W, C)
+
+
+def warp_auto(img, flow, in_band=None):
+    """Backward warp with platform- and mesh-appropriate kernel selection.
+
+    ``in_band``: optional precomputed scalar bool asserting max|flow| ≤ 128
+    (skips the Pallas guard's per-call reduce; see warp_pallas)."""
     import jax
 
     if _WARP_MESH is not None:
         from superslomo_tpu.parallel.warp_spmd import warp_sharded
 
-        return warp_sharded(img, flow, _WARP_MESH)
+        return warp_sharded(img, flow, _WARP_MESH, in_band=in_band)
     use = _PALLAS_WARP_OVERRIDE
     if use is None:
         use = jax.default_backend() == "tpu"
-    return backward_warp(img, flow, use_pallas=bool(use))
+    if use and _GUARD_DISABLED:
+        from superslomo_tpu.ops.warp_pallas import backward_warp_pallas
+
+        return backward_warp_pallas(img, flow, unguarded=True)
+    return backward_warp(img, flow, use_pallas=bool(use), in_band=in_band)

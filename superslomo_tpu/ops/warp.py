@@ -91,7 +91,8 @@ def _warp_single(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
-def backward_warp(img: jnp.ndarray, flow: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+def backward_warp(img: jnp.ndarray, flow: jnp.ndarray, use_pallas: bool = False,
+                  in_band=None) -> jnp.ndarray:
     """Backward-warp a batch of images by a flow field.
 
     :param img: (B, H, W, C) source images.
@@ -106,5 +107,5 @@ def backward_warp(img: jnp.ndarray, flow: jnp.ndarray, use_pallas: bool = False)
     if use_pallas:
         from superslomo_tpu.ops.warp_pallas import backward_warp_pallas
 
-        return backward_warp_pallas(img, flow)
+        return backward_warp_pallas(img, flow, in_band=in_band)
     return jax.vmap(_warp_single)(img, flow)

@@ -213,6 +213,227 @@ def _warp_image(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([o[:H, :W] for o in outs], axis=-1).astype(img.dtype)
 
 
+def _warp_kernel_mf(img_ref, u_ref, v_ref, out_ref, *, h_total, w_total, sub,
+                    grid_dims):
+    """Multi-flow kernel body: one image warped by many flows.
+
+    img_ref: (Cg, Hpad, Wl) channel plane(s), CONSTANT across the grid —
+    Pallas fetches them once and every (flow, row-block) grid step reuses
+    the VMEM copy (the whole point: at 7 t-values the per-t kernels would
+    otherwise re-DMA and re-pad the same planes seven times).
+    u_ref/v_ref: (1, HB, Wl) f32 blocks of the (n, Hp, Wl) flow stacks.
+    out_ref: (Cg, 1, HB, Wl) f32 blocks of the (Cg, n, Hp, Wl) outputs.
+    Index math identical to _warp_kernel."""
+    Cg = img_ref.shape[0]
+    HB, Wl = out_ref.shape[2], out_ref.shape[3]
+    nseg = Wl // _LANES
+    f32 = jnp.float32
+    # the row-block index is the last grid dimension
+    r0 = pl.program_id(grid_dims - 1) * HB
+
+    for k in range(nseg):
+        sl = slice(k * _LANES, (k + 1) * _LANES)
+        u = u_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+
+        xx = jax.lax.broadcasted_iota(jnp.int32, (HB, _LANES), 1) + k * _LANES
+        sx = xx.astype(f32) + u
+        x0f = jnp.floor(sx)
+        wx = sx - x0f
+        x0 = x0f.astype(jnp.int32)
+
+        yy = jax.lax.broadcasted_iota(jnp.int32, (HB, _LANES), 0) + r0
+        sy = yy.astype(f32) + v
+        y0f = jnp.floor(sy)
+        wy = sy - y0f
+        y0 = y0f.astype(jnp.int32)
+        dfield = y0 - yy
+
+        in_x0 = (x0 >= 0) & (x0 < w_total)
+        in_x1 = (x0 + 1 >= 0) & (x0 + 1 < w_total)
+        in_y0 = (y0 >= 0) & (y0 < h_total)
+        in_y1 = (y0 + 1 >= 0) & (y0 + 1 < h_total)
+
+        w00 = jnp.where(in_y0 & in_x0, (1 - wy) * (1 - wx), 0)
+        w01 = jnp.where(in_y0 & in_x1, (1 - wy) * wx, 0)
+        w10 = jnp.where(in_y1 & in_x0, wy * (1 - wx), 0)
+        w11 = jnp.where(in_y1 & in_x1, wy * wx, 0)
+
+        x0c = jnp.clip(x0, 0, w_total - 1)
+        x1c = jnp.clip(x0 + 1, 0, w_total - 1)
+
+        dlo = jnp.maximum(jnp.min(dfield), -_BAND)
+        dhi = jnp.minimum(jnp.max(dfield) + 1, _BAND + 1)
+        qlo = jnp.floor_divide(dlo, sub)
+        qhi = jnp.floor_divide(dhi, sub)
+
+        j0 = max(0, k - _U_SEG)
+        j1 = min(nseg, k + _U_SEG + 1)
+        lanes = slice(j0 * _LANES, j1 * _LANES)
+
+        for c in range(Cg):
+            out_ref[c, 0, :, sl] = jnp.zeros((HB, _LANES), f32)
+
+        def body(i, carry):
+            q = qlo + i
+            base = pl.multiple_of(r0 + _BAND + sub * q, sub)
+            blks = [
+                img_ref[c, pl.ds(base, HB + sub), lanes].astype(f32)
+                for c in range(Cg)
+            ]
+            for s in range(sub):
+                d = sub * q + s
+
+                @pl.when((d >= dlo) & (d <= dhi))
+                def _(s=s, d=d):
+                    m0 = (dfield == d).astype(f32)
+                    m1 = (dfield + 1 == d).astype(f32)
+                    g0 = m0 * w00 + m1 * w10
+                    g1 = m0 * w01 + m1 * w11
+                    for c, blk in enumerate(blks):
+                        rows = jax.lax.slice_in_dim(blk, s, s + HB, axis=0)
+                        c0 = _gather_row_chunk(rows, x0c, j0)
+                        c1 = _gather_row_chunk(rows, x1c, j0)
+                        out_ref[c, 0, :, sl] += g0 * c0 + g1 * c1
+
+            return carry
+
+        jax.lax.fori_loop(0, qhi - qlo + 1, body, 0)
+
+
+def _warp_image_multiflow(img: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
+    """One (H, W, C) image warped by (n, H, W, 2) f32 flows → (n, H, W, C).
+
+    Channel planes are DMA'd to VMEM once and shared by all n warps: either
+    all C channels resident (bf16 720p and small f32) with grid (n, i), or
+    one channel at a time with grid (C, n, i)."""
+    H, W, C = img.shape
+    n = flows.shape[0]
+    sub = _sublane(img.dtype)
+    flows = flows.astype(jnp.float32)
+    Wl = _round_up(W, _LANES)
+    Hp = _round_up(H, _HB)
+    Hpad = _round_up(Hp + 2 * _BAND + 2 * sub, sub)
+
+    planes = jnp.stack(
+        [
+            jnp.pad(img[..., c], ((_BAND, Hpad - H - _BAND), (0, Wl - W)))
+            for c in range(C)
+        ]
+    )  # (C, Hpad, Wl)
+    u = jnp.pad(flows[..., 0], ((0, 0), (0, Hp - H), (0, Wl - W)))
+    v = jnp.pad(flows[..., 1], ((0, 0), (0, Hp - H), (0, Wl - W)))
+
+    all_resident = fits_vmem(H, W, img.dtype.itemsize, n_chan=C)
+    if all_resident:
+        grid = (n, Hp // _HB)
+        img_spec = pl.BlockSpec((C, Hpad, Wl), lambda f, i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        uv_spec = pl.BlockSpec((1, _HB, Wl), lambda f, i: (f, i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((C, 1, _HB, Wl), lambda f, i: (0, f, i, 0),
+                                memory_space=pltpu.VMEM)
+        Cg = C
+    else:
+        grid = (C, n, Hp // _HB)
+        img_spec = pl.BlockSpec((1, Hpad, Wl), lambda c, f, i: (c, 0, 0),
+                                memory_space=pltpu.VMEM)
+        uv_spec = pl.BlockSpec((1, _HB, Wl), lambda c, f, i: (f, i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, 1, _HB, Wl), lambda c, f, i: (c, f, i, 0),
+                                memory_space=pltpu.VMEM)
+        Cg = 1
+    del Cg  # kernel reads the channel-group size off its block shape
+
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel_mf, h_total=H, w_total=W, sub=sub,
+                          grid_dims=len(grid)),
+        grid=grid,
+        in_specs=[img_spec, uv_spec, uv_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((C, n, Hp, Wl), jnp.float32),
+    )(planes, u, v)
+    return out[:, :, :H, :W].transpose(1, 2, 3, 0).astype(img.dtype)
+
+
+def _mf_tiled_xla(img, flows):
+    B, n, H, W, _ = flows.shape
+    C = img.shape[-1]
+    tiled = jnp.broadcast_to(img[:, None], (B, n, H, W, C)).reshape(B * n, H, W, C)
+    out = warp_ref.backward_warp(tiled, flows.reshape(B * n, H, W, 2))
+    return out.reshape(B, n, H, W, C)
+
+
+@jax.custom_vjp
+def _mf_guarded(img: jnp.ndarray, flows: jnp.ndarray, band_f: jnp.ndarray):
+    """Guarded multi-flow warp with the cond hidden from autodiff (see
+    _guarded_core)."""
+    return jax.lax.cond(
+        band_f > 0.5,
+        lambda i, f: jax.vmap(_warp_image_multiflow)(i, f),
+        _mf_tiled_xla,
+        img,
+        flows,
+    )
+
+
+def _mf_fwd(img, flows, band_f):
+    return _mf_guarded(img, flows, band_f), (img, flows)
+
+
+def _mf_bwd(res, g):
+    img, flows = res
+    _, vjp = jax.vjp(_mf_tiled_xla, img, flows)
+    return vjp(g) + (jnp.zeros(()),)
+
+
+_mf_guarded.defvjp(_mf_fwd, _mf_bwd)
+
+
+@jax.custom_vjp
+def _mf_unguarded(img: jnp.ndarray, flows: jnp.ndarray):
+    return jax.vmap(_warp_image_multiflow)(img, flows)
+
+
+def _mfu_fwd(img, flows):
+    return _mf_unguarded(img, flows), (img, flows)
+
+
+def _mfu_bwd(res, g):
+    img, flows = res
+    _, vjp = jax.vjp(_mf_tiled_xla, img, flows)
+    return vjp(g)
+
+
+_mf_unguarded.defvjp(_mfu_fwd, _mfu_bwd)
+
+
+def backward_warp_multiflow(img: jnp.ndarray, flows: jnp.ndarray, in_band=None,
+                            unguarded: bool = False):
+    """(B, H, W, C) x (B, n, H, W, 2) → (B, n, H, W, C): each batch image
+    backward-warped by n flow fields, sharing one VMEM copy of its planes
+    (the fused multi-t step warps the same frame at every t). Same band
+    guard / fallback semantics as backward_warp_pallas."""
+    B, n, H, W, _ = flows.shape
+    C = img.shape[-1]
+    flows = flows.astype(jnp.float32)
+    if not fits_vmem(H, W, img.dtype.itemsize, n_chan=1):
+        # plane too big for shared residency (1080p f32): tile the image and
+        # use the per-flow kernel, which can column-split with halos —
+        # NEVER the XLA gather (25-60 ms per 1080p warp)
+        tiled = jnp.broadcast_to(img[:, None], (B, n, H, W, C)).reshape(
+            B * n, H, W, C
+        )
+        out = backward_warp_pallas(tiled, flows.reshape(B * n, H, W, 2),
+                                   in_band=in_band, unguarded=unguarded)
+        return out.reshape(B, n, H, W, C)
+    if unguarded:
+        return _mf_unguarded(img, flows)
+    if in_band is None:
+        in_band = jnp.max(jnp.abs(flows)) <= jnp.asarray(_MAX_FLOW, flows.dtype)
+    return _mf_guarded(img, flows, jnp.asarray(in_band, jnp.float32))
+
+
 # The kernel keeps the padded channel planes in VMEM. Budgets leave room for
 # double-buffered u/v/out blocks inside the 16 MB VMEM; beyond them fall
 # back to fewer channels per kernel, then to the XLA gather.
@@ -298,7 +519,56 @@ def _pallas_dispatch(img: jnp.ndarray, flow: jnp.ndarray):
 
 
 @jax.custom_vjp
-def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def _guarded_core(img: jnp.ndarray, flow: jnp.ndarray, band_f: jnp.ndarray):
+    """cond(in-band → banded kernel, else → XLA gather), with the guard
+    HIDDEN from autodiff: the custom VJP is the XLA warp's VJP, which is
+    mathematically the gradient of BOTH branches (in band they are the same
+    function), so training never linearizes through the cond — jax's cond
+    rule would otherwise partial-eval and residual-save both branches,
+    measurably slowing the train step. ``band_f`` is a f32 scalar (1.0 in
+    band) so it carries an ordinary zero cotangent."""
+    path = _pallas_dispatch(img, flow)
+    return jax.lax.cond(
+        band_f > 0.5, path, lambda im, fl: warp_ref.backward_warp(im, fl), img, flow
+    )
+
+
+def _fwd(img, flow, band_f):
+    return _guarded_core(img, flow, band_f), (img, flow)
+
+
+def _bwd(res, g):
+    img, flow = res
+    _, vjp = jax.vjp(lambda i, f: warp_ref.backward_warp(i, f), img, flow)
+    return vjp(g) + (jnp.zeros(()),)
+
+
+_guarded_core.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def _unguarded_core(img: jnp.ndarray, flow: jnp.ndarray):
+    """The banded kernel with NO runtime guard (ops.unguarded_warps): the
+    caller checks the returned flow bound host-side. Custom VJP = XLA warp
+    (correct in band, where callers keep it)."""
+    return _pallas_dispatch(img, flow)(img, flow)
+
+
+def _ug_fwd(img, flow):
+    return _unguarded_core(img, flow), (img, flow)
+
+
+def _ug_bwd(res, g):
+    img, flow = res
+    _, vjp = jax.vjp(lambda i, f: warp_ref.backward_warp(i, f), img, flow)
+    return vjp(g)
+
+
+_unguarded_core.defvjp(_ug_fwd, _ug_bwd)
+
+
+def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, in_band=None,
+                         unguarded: bool = False) -> jnp.ndarray:
     """(B, H, W, C) x (B, H, W, 2) → (B, H, W, C); grid_sample parity.
 
     The kernel is exact within its |v| ≤ 128, |u| ≤ 128 band (see module
@@ -307,25 +577,19 @@ def backward_warp_pallas(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     — fast motion at 1080p degrades to the slower exact path instead of
     silently contributing zeros. Also falls back statically for planes too
     large to hold in VMEM. The flow is always f32 (sample positions lose
-    whole pixels in bf16); images may be f32 or bf16."""
+    whole pixels in bf16); images may be f32 or bf16.
+
+    :param in_band: optional precomputed scalar bool asserting
+        max|flow| ≤ 128. Callers that already know a bound (e.g. the model
+        bounds all its derived flows by two cheap reduces over the raw bf16
+        network outputs — models/superslomo.py) pass it to skip the
+        per-call 40 MB reduce.
+    """
     flow = flow.astype(jnp.float32)
-    path = _pallas_dispatch(img, flow)
-    if path is None:
+    if _pallas_dispatch(img, flow) is None:
         return warp_ref.backward_warp(img, flow)
-    in_band = jnp.max(jnp.abs(flow)) <= jnp.asarray(_MAX_FLOW, flow.dtype)
-    return jax.lax.cond(
-        in_band, path, lambda im, fl: warp_ref.backward_warp(im, fl), img, flow
-    )
-
-
-def _fwd(img, flow):
-    return backward_warp_pallas(img, flow), (img, flow)
-
-
-def _bwd(res, g):
-    img, flow = res
-    _, vjp = jax.vjp(lambda i, f: warp_ref.backward_warp(i, f), img, flow)
-    return vjp(g)
-
-
-backward_warp_pallas.defvjp(_fwd, _bwd)
+    if unguarded:
+        return _unguarded_core(img, flow)
+    if in_band is None:
+        in_band = jnp.max(jnp.abs(flow)) <= jnp.asarray(_MAX_FLOW, flow.dtype)
+    return _guarded_core(img, flow, jnp.asarray(in_band, jnp.float32))

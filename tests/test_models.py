@@ -215,3 +215,26 @@ def test_converted_shape_mismatch_is_loud(rng):
     loaded = {"conv6": {"fwd_l0": {"gates": {"kernel": np.zeros((3, 3, 16, 32))}}}}
     with _pytest.raises(ValueError, match="CLSTM_MERGE"):
         check_converted_shapes(loaded, template, "stage1")
+
+
+def test_multi_t_with_bounds_matches(rng):
+    """The unguarded checked fast path returns the same predictions plus a
+    finite flow bound that really bounds every warp's flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from superslomo_tpu.config import ModelSpec
+    from superslomo_tpu.models.superslomo import SuperSloMo
+
+    model = SuperSloMo(spec=ModelSpec(n_frames=2))
+    frames = jnp.asarray(rng.standard_normal((1, 2, 32, 32, 3)), jnp.float32)
+    t_values = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), frames, jnp.full((1, 1), 0.5))
+
+    plain = model.apply(params, frames, t_values,
+                        method=SuperSloMo.interpolate_multi_t)
+    pred, bound = model.apply(params, frames, t_values, with_bounds=True,
+                              method=SuperSloMo.interpolate_multi_t)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(plain),
+                               atol=1e-6, rtol=1e-6)
+    assert np.isfinite(float(bound)) and float(bound) >= 0
