@@ -324,35 +324,47 @@ def _warp_image_multiflow(img: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
     u = jnp.pad(flows[..., 0], ((0, 0), (0, Hp - H), (0, Wl - W)))
     v = jnp.pad(flows[..., 1], ((0, 0), (0, Hp - H), (0, Wl - W)))
 
-    all_resident = fits_vmem(H, W, img.dtype.itemsize, n_chan=C)
-    if all_resident:
-        grid = (n, Hp // _HB)
+    grid = (n, Hp // _HB)
+    uv_spec = pl.BlockSpec((1, _HB, Wl), lambda f, i: (f, i, 0),
+                           memory_space=pltpu.VMEM)
+    if fits_vmem(H, W, img.dtype.itemsize, n_chan=C):
+        # all channels resident in one kernel. The plane spec's index map is
+        # CONSTANT over the grid, so Pallas single-buffers it — one DMA for
+        # the whole (flow, row-block) sweep.
         img_spec = pl.BlockSpec((C, Hpad, Wl), lambda f, i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        uv_spec = pl.BlockSpec((1, _HB, Wl), lambda f, i: (f, i, 0),
-                               memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((C, 1, _HB, Wl), lambda f, i: (0, f, i, 0),
                                 memory_space=pltpu.VMEM)
-        Cg = C
+        out = pl.pallas_call(
+            functools.partial(_warp_kernel_mf, h_total=H, w_total=W, sub=sub,
+                              grid_dims=len(grid)),
+            grid=grid,
+            in_specs=[img_spec, uv_spec, uv_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((C, n, Hp, Wl), jnp.float32),
+        )(planes, u, v)
     else:
-        grid = (C, n, Hp // _HB)
-        img_spec = pl.BlockSpec((1, Hpad, Wl), lambda c, f, i: (c, 0, 0),
+        # plane-at-a-time, one pallas_call per channel: a channel grid dim
+        # would make Pallas double-buffer the big plane (prefetching the
+        # next channel) and blow VMEM at 1080p f32; a Python loop keeps
+        # each call's plane constant-indexed → single-buffered, still
+        # shared across all n flows.
+        img_spec = pl.BlockSpec((1, Hpad, Wl), lambda f, i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
-        uv_spec = pl.BlockSpec((1, _HB, Wl), lambda c, f, i: (f, i, 0),
-                               memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((1, 1, _HB, Wl), lambda c, f, i: (c, f, i, 0),
+        out_spec = pl.BlockSpec((1, 1, _HB, Wl), lambda f, i: (0, f, i, 0),
                                 memory_space=pltpu.VMEM)
-        Cg = 1
-    del Cg  # kernel reads the channel-group size off its block shape
-
-    out = pl.pallas_call(
-        functools.partial(_warp_kernel_mf, h_total=H, w_total=W, sub=sub,
-                          grid_dims=len(grid)),
-        grid=grid,
-        in_specs=[img_spec, uv_spec, uv_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((C, n, Hp, Wl), jnp.float32),
-    )(planes, u, v)
+        outs = [
+            pl.pallas_call(
+                functools.partial(_warp_kernel_mf, h_total=H, w_total=W,
+                                  sub=sub, grid_dims=len(grid)),
+                grid=grid,
+                in_specs=[img_spec, uv_spec, uv_spec],
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct((1, n, Hp, Wl), jnp.float32),
+            )(planes[c : c + 1], u, v)
+            for c in range(C)
+        ]
+        out = jnp.concatenate(outs, axis=0)
     return out[:, :, :H, :W].transpose(1, 2, 3, 0).astype(img.dtype)
 
 
@@ -417,7 +429,7 @@ def backward_warp_multiflow(img: jnp.ndarray, flows: jnp.ndarray, in_band=None,
     B, n, H, W, _ = flows.shape
     C = img.shape[-1]
     flows = flows.astype(jnp.float32)
-    if not fits_vmem(H, W, img.dtype.itemsize, n_chan=1):
+    if not _mf_plane_fits(H, W, img.dtype.itemsize):
         # plane too big for shared residency (1080p f32): tile the image and
         # use the per-flow kernel, which can column-split with halos —
         # NEVER the XLA gather (25-60 ms per 1080p warp)
@@ -439,6 +451,20 @@ def backward_warp_multiflow(img: jnp.ndarray, flows: jnp.ndarray, in_band=None,
 # back to fewer channels per kernel, then to the XLA gather.
 _VMEM_MULTI_BUDGET = 12_000_000  # all C planes resident at once
 _VMEM_SINGLE_BUDGET = 6_500_000  # one plane resident (verified at 720p f32)
+
+
+# The multi-flow kernel's per-grid-step working set beyond the plane is
+# small (double-buffered (64, W) u/v/out blocks), so a single resident
+# plane can be bigger than the per-flow kernel's budget — this is what
+# keeps 1080p f32 final-image warps on the shared-plane path instead of
+# column-split (plane there: 10.6 MB).
+_VMEM_MF_PLANE_BUDGET = 11_500_000
+
+
+def _mf_plane_fits(h: int, w: int, itemsize: int) -> bool:
+    sub = {4: 8, 2: 16}[itemsize]
+    Hpad = _round_up(_round_up(h, _HB) + 2 * _BAND + 2 * sub, sub)
+    return Hpad * _round_up(w, _LANES) * itemsize <= _VMEM_MF_PLANE_BUDGET
 
 
 def fits_vmem(h: int, w: int, itemsize: int = 4, n_chan: int = 3) -> bool:

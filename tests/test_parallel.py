@@ -145,11 +145,14 @@ def test_evaluator_mesh_matches_single_device():
     rng = np.random.default_rng(0)
     B = 6  # not divisible by 4: exercises the pad-and-trim path
     frames = rng.standard_normal((B, 2, 32, 32, 3)).astype(np.float32)
-    out0 = np.asarray(ev0._step(params, jnp.asarray(frames)))
+    out0, bound0 = ev0._step(params, jnp.asarray(frames))
+    out0 = np.asarray(out0)
+    assert np.isfinite(float(bound0))
     # mirror eval_batch's padding
     pad = 4 - B % 4
     fr = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
-    out1 = np.asarray(ev1._step(params, jax.device_put(jnp.asarray(fr), ev1._data_sh)))[:B]
+    out1, _ = ev1._step(params, jax.device_put(jnp.asarray(fr), ev1._data_sh))
+    out1 = np.asarray(out1)[:B]
     np.testing.assert_allclose(out1, out0, rtol=2e-4, atol=2e-4)
 
 
