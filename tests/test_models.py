@@ -238,3 +238,30 @@ def test_multi_t_with_bounds_matches(rng):
     np.testing.assert_allclose(np.asarray(pred), np.asarray(plain),
                                atol=1e-6, rtol=1e-6)
     assert np.isfinite(float(bound)) and float(bound) >= 0
+
+
+def test_multi_t_matches_per_t_forwards_ssmr(rng):
+    """Fused t-grid == per-t forwards for the RECURRENT 4-frame model too:
+    covers the (B, W_n, n_t) → (B·n_t, W_n) regrouping and mid-window
+    selection with W_n = 3 windows and a CLSTM bottleneck."""
+    import jax
+    import jax.numpy as jnp
+
+    from superslomo_tpu.config import ModelSpec
+    from superslomo_tpu.models.superslomo import SuperSloMo
+
+    m = SuperSloMo(spec=ModelSpec(
+        n_frames=4, stage1_bottleneck="CLSTM", stage2_bottleneck="CLSTM"
+    ))
+    frames = jnp.asarray(rng.standard_normal((1, 4, 32, 32, 3)), jnp.float32)
+    t_values = jnp.asarray([2 / 8, 6 / 8], dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), frames, jnp.full((1, 3), 0.5))
+
+    fused = m.apply(params, frames, t_values,
+                    method=SuperSloMo.interpolate_multi_t)
+    assert fused.shape == (1, 2, 32, 32, 3)
+    for k, tv in enumerate(np.asarray(t_values)):
+        out = m.apply(params, frames, jnp.full((1, 3), tv))
+        mid = out.pred_images.shape[1] // 2
+        diff = np.abs(np.asarray(fused[:, k]) - np.asarray(out.pred_images[:, mid]))
+        assert np.mean(diff) < 2e-3, f"t={tv}: mean diff {np.mean(diff)}"
