@@ -127,3 +127,39 @@ def test_flow_evaluator(tmp_path):
     res = evaluate_flow(cfg, params, max_samples=2)
     assert res["n_samples"] == 2
     assert np.isfinite(res["EPE"])
+
+
+def test_evaluator_guarded_rerun_on_out_of_band(eval_cfg, monkeypatch):
+    """When the returned flow bound exceeds the warp band, the evaluator
+    must rerun the batch through the guarded program."""
+    import jax.numpy as jnp
+
+    from superslomo_tpu.data import readers as R
+    from superslomo_tpu.data.augmentations import Compose, EvalPad, Normalize, ToFloatArray
+
+    def build_transform(self):
+        mean, std = self.cfg.pixel_mean(), self.cfg.pixel_std()
+        return Compose([Normalize(mean, std), ToFloatArray(),
+                        EvalPad(padding=(0, 0, 2, 2))])
+
+    monkeypatch.setattr(R.Reader, "build_transform", build_transform)
+
+    params = init_params(eval_cfg)
+    ev = Evaluator(eval_cfg, params)
+
+    fast_calls, safe_calls = [], []
+    orig_fast, orig_safe = ev._step, ev._safe_step
+
+    def fake_fast(p, f):
+        out, _ = orig_fast(p, f)
+        fast_calls.append(1)
+        return out, jnp.asarray(999.0)  # force "out of band"
+
+    def spy_safe(p, f):
+        safe_calls.append(1)
+        return orig_safe(p, f)
+
+    ev._step, ev._safe_step = fake_fast, spy_safe
+    results = ev.run(max_batches=1)
+    assert fast_calls and safe_calls, "guarded rerun did not trigger"
+    assert np.isfinite(results["PSNR"])
