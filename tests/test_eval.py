@@ -163,3 +163,33 @@ def test_evaluator_guarded_rerun_on_out_of_band(eval_cfg, monkeypatch):
     results = ev.run(max_batches=1)
     assert fast_calls and safe_calls, "guarded rerun did not trigger"
     assert np.isfinite(results["PSNR"])
+
+
+def test_evaluator_sintel_hfr_31x(tmp_path):
+    """Sintel-HFR protocol: 32x interp factor → 31 intermediate frames in
+    ONE fused multi-t step (the reference loops 31 full forwards,
+    evaluate_interpolation_results.py:234-242)."""
+    from superslomo_tpu.cli.common import init_params
+    from superslomo_tpu.config import default_config
+    from superslomo_tpu.eval.evaluate_interpolation import Evaluator
+
+    # the stock Sintel-HFR EvalPad is (0, 0, 6, 6): 20 → 32 rows
+    cfg = default_config()
+    cfg.set("DATA", "DATASET", "SINTEL_HFR")
+    # REQD_IMAGES_HFR[2] = 33 frames per window at 32x
+    write_png_clip(tmp_path / "alley_1", 34, h=20, w=32)
+    cfg.set("SINTEL_HFR_DATA", "ROOTDIR", str(tmp_path))
+    cfg.set("SINTEL_HFR_DATA", "H_IN", 20)
+    cfg.set("SINTEL_HFR_DATA", "W_IN", 32)
+    cfg.set("VAL", "BATCH_SIZE", 1)
+    cfg.set("EVAL", "EVAL_MODE", "TRUE")
+    cfg.set("DATALOADER", "T_SAMPLE", "NIL")
+    cfg.set("DATALOADER", "N_WORKERS", 1)
+
+    params = init_params(cfg)
+    ev = Evaluator(cfg, params)
+    assert ev.interp_factor == 32
+    assert ev.t_values.shape[0] == 31
+    results = ev.run(max_batches=1)
+    assert results["n_images"] > 0
+    assert np.isfinite(results["PSNR"])
