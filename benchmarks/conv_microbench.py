@@ -2,6 +2,13 @@
 736x1280 / batch 7 (the fused 8x step's shapes) — finds where the wall-clock
 goes and what utilization each layer achieves.
 
+CAVEAT (measured): each dispatch over the axon tunnel costs ~24 ms of fixed
+round-trip, so per-call timings of sub-10 ms ops are dominated by RTT. For
+accurate per-op numbers, loop the op in-graph (lax.scan with a carry-based
+input perturbation so XLA can't hoist it) and subtract one RTT — or parse a
+jax.profiler.trace (see NOTES_r2.md). This script's numbers are upper
+bounds, useful for ranking heavyweight layers only.
+
     python benchmarks/conv_microbench.py [--b 7] [--h 736] [--w 1280] [--dtype bfloat16]
 """
 

@@ -22,7 +22,9 @@ import numpy as np
 
 def timed(name, fn, *args, iters=10):
     """Median wall time of a device computation, forced via a scalar sum (the
-    axon remote platform's block_until_ready is unreliable for timing)."""
+    axon remote platform's block_until_ready is unreliable for timing).
+    Includes ~24 ms of fixed dispatch round-trip over the axon tunnel —
+    subtract it when comparing against in-graph or traced timings."""
     g = jax.jit(lambda *a: jnp.sum(fn(*a)))
     float(g(*args))  # compile + warm
     times = []
