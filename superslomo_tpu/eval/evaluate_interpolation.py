@@ -38,6 +38,9 @@ class Evaluator:
     and trimmed after (the reference instead skips them, :251-252)."""
 
     def __init__(self, cfg: Config, params, mesh=None):
+        from superslomo_tpu import ops as _ops
+
+        _ops.apply_warp_config(cfg)  # [TPU] USE_PALLAS_WARP
         self.cfg = cfg
         self.params = params
         self.dataset = cfg.get("DATA", "DATASET").upper()

@@ -34,6 +34,9 @@ log = logging.getLogger(__name__)
 class Interpolator:
     def __init__(self, cfg: Config, params, upsample_rate: int = 8,
                  dump_intermediates: bool = False):
+        from superslomo_tpu import ops as _ops
+
+        _ops.apply_warp_config(cfg)  # [TPU] USE_PALLAS_WARP
         self.cfg = cfg
         self.params = params
         self.rate = upsample_rate

@@ -24,6 +24,19 @@ def set_pallas_warp(enabled):
     _PALLAS_WARP_OVERRIDE = enabled
 
 
+def apply_warp_config(cfg) -> None:
+    """Apply the [TPU] USE_PALLAS_WARP config knob (AUTO | TRUE | FALSE) —
+    called by the drivers (Trainer/Evaluator/Interpolator) so .ini files
+    control kernel selection without code changes."""
+    mode = cfg.get("TPU", "USE_PALLAS_WARP").strip().upper()
+    if mode == "AUTO":
+        set_pallas_warp(None)
+    elif mode in ("TRUE", "FALSE"):
+        set_pallas_warp(mode == "TRUE")
+    else:
+        raise ValueError(f"[TPU] USE_PALLAS_WARP must be AUTO/TRUE/FALSE, got {mode!r}")
+
+
 @contextlib.contextmanager
 def warp_mesh(mesh):
     """Route every warp traced inside this context through the shard_map

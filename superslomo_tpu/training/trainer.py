@@ -135,6 +135,10 @@ class Trainer:
             )
         self.vgg_params = init_vgg_params(vgg_path)
 
+        from superslomo_tpu import ops as _ops
+
+        _ops.apply_warp_config(cfg)  # [TPU] USE_PALLAS_WARP
+
         self.tx = make_optimizer(self.spec, self.lr_schedule(1))
         self._train_step = self._build_train_step()
 
