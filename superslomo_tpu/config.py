@@ -67,7 +67,7 @@ _DEFAULTS = {
     # submodule is un-vendored, so checkpoint portability needs an explicit
     # contract — see models/bottleneck.py):
     ("TPU", "CLSTM_MERGE"): "CONCAT",      # CONCAT (hidden/2 per dir) | SUM (full)
-    ("TPU", "CLSTM_GATE_ORDER"): "IFOG",   # permutation of I,F,O,G
+    ("TPU", "CLSTM_GATE_ORDER"): "IFOG",   # CLSTM: perm of I,F,O,G; CGRU: perm of Z,R
     # Rematerialize U-Net activations in the backward pass (jax.checkpoint):
     # trades ~30% step time for ~2x activation memory — enables batch>=8
     # training at 352² per chip.

@@ -66,6 +66,10 @@ class Evaluator:
         self.t_values = t_values
         self.mesh = mesh
         self.n_data = 1
+        # unguarded-warp exactness threshold for the host-side bound check:
+        # the kernel band on a single device; under a spatial mesh, also
+        # clamped by the one-hop halo's vertical reach (warp_spmd.halo_reach)
+        self.bound_threshold = 128.0
 
         def run(p, frames, with_bounds):
             return self.model.apply(
@@ -83,10 +87,14 @@ class Evaluator:
             self._safe_step = jax.jit(lambda p, f: run(p, f, False))
         else:
             from superslomo_tpu import ops as _ops
-            from superslomo_tpu.parallel.mesh import batch_sharding, replicated
+            from superslomo_tpu.parallel.mesh import SPATIAL_AXIS, batch_sharding, replicated
+            from superslomo_tpu.parallel.warp_spmd import halo_reach
 
             self.n_data = int(mesh.shape["data"])
             self._data_sh = batch_sharding(mesh)
+            self.bound_threshold = halo_reach(
+                int(mesh.shape[SPATIAL_AXIS]), self.H_REF
+            )
 
             def run_sharded(p, frames, with_bounds):
                 # trace-time context: warps run as shard_map islands
@@ -95,7 +103,8 @@ class Evaluator:
 
             shardings = dict(in_shardings=(replicated(mesh), self._data_sh))
             self._step = jax.jit(
-                lambda p, f: run_sharded(p, f, True), **shardings
+                lambda p, f: run_sharded(p, f, True),
+                out_shardings=(self._data_sh, replicated(mesh)), **shardings
             )
             self._safe_step = jax.jit(
                 lambda p, f: run_sharded(p, f, False),
@@ -131,9 +140,10 @@ class Evaluator:
         ]
         return self.normalize.inverse(batch).astype(np.uint8)
 
-    def eval_batch(self, frames: np.ndarray, targets: np.ndarray, n_avail: np.ndarray):
-        """One val batch: fused multi-t interpolation, trim edge windows,
-        score (evaluate_interpolation_results.py:110-141)."""
+    def _submit(self, frames: np.ndarray, targets, n_avail):
+        """Dispatch one batch's fused multi-t step WITHOUT blocking: jax
+        dispatch is async, so the returned (out, bound) device arrays
+        compute while the host scores the previous batch."""
         B = frames.shape[0]
         frames = np.asarray(frames, np.float32)
         if self.n_data > 1 and B % self.n_data:
@@ -144,11 +154,21 @@ class Evaluator:
             frames = jax.device_put(jnp.asarray(frames), self._data_sh)
         frames = jnp.asarray(frames, jnp.float32)
         out, bound = self._step(self.params, frames)
-        out, bound = jax.device_get((out, bound))  # one host round trip
-        if float(bound) > 128.0:
+        return (out, bound, frames, targets, n_avail, B)
+
+    def _score(self, pending) -> None:
+        """Retrieve + score one previously submitted batch (the blocking
+        device_get happens here, overlapped with the NEXT batch's compute)."""
+        out, bound, frames, targets, n_avail, B = pending
+        out, bound = jax.device_get((out, bound))
+        if float(bound) > self.bound_threshold:
             # out-of-band motion: rerun through the guarded program so every
-            # warp is exact regardless of magnitude (cond-guarded fallback)
-            log.info("flow bound %.1f px > 128: guarded rerun", float(bound))
+            # warp is exact regardless of magnitude (cond-guarded, with the
+            # all-gather fallback under a spatial mesh)
+            log.info(
+                "flow bound %.1f px > %.0f: guarded rerun",
+                float(bound), self.bound_threshold,
+            )
             out = np.asarray(self._safe_step(self.params, frames))
         out = np.asarray(out)[:B]  # (B, n_t, H, W, 3)
         # reference validators.py:98-105
@@ -169,17 +189,37 @@ class Evaluator:
             self.ssim.append(ss)
             self.ie.append(ie)
 
+    def eval_batch(self, frames: np.ndarray, targets: np.ndarray, n_avail: np.ndarray):
+        """One val batch, submit + score back-to-back (the pipelined loop in
+        run() overlaps these across batches; reference protocol
+        evaluate_interpolation_results.py:110-141)."""
+        self._score(self._submit(frames, targets, n_avail))
+
     def run(self, max_batches: Optional[int] = None):
+        """Pipelined eval loop: batch k+1's step is dispatched BEFORE batch
+        k's device_get, so k's ~24 ms-RTT transfer + host-side scoring
+        overlap k+1's device compute (the reference instead serializes a
+        full 7-forward loop per batch, evaluate_interpolation_results.py:
+        246-278)."""
         loader = get_dataset(self.cfg, "VAL")
+        pending = None
+        n_scored = 0
         for i, (frames, targets, n_avail) in enumerate(loader):
-            self.eval_batch(frames, targets, n_avail)
-            if i % 10 == 0:
-                log.info(
-                    "batch %d  PSNR %.3f  IE %.3f  SSIM %.3f",
-                    i, np.mean(self.psnr), np.mean(self.ie), np.mean(self.ssim),
-                )
+            submitted = self._submit(frames, targets, n_avail)
+            if pending is not None:
+                self._score(pending)
+                n_scored += 1
+                if (n_scored - 1) % 10 == 0:
+                    log.info(
+                        "batch %d  PSNR %.3f  IE %.3f  SSIM %.3f",
+                        n_scored - 1, np.mean(self.psnr), np.mean(self.ie),
+                        np.mean(self.ssim),
+                    )
+            pending = submitted
             if max_batches is not None and i + 1 >= max_batches:
                 break
+        if pending is not None:
+            self._score(pending)
         results = {
             "PSNR": float(np.mean(self.psnr)),
             "IE": float(np.mean(self.ie)),

@@ -73,14 +73,27 @@ class ConvLSTMCell(nn.Module):
 
 
 class ConvGRUCell(nn.Module):
-    """ConvGRU cell: update/reset gates + candidate conv."""
+    """ConvGRU cell: update/reset gates + candidate conv.
+
+    ``gate_order`` names the channel-block order of the fused gate conv as
+    a permutation of "zr" (update, reset) — the GRU analogue of the
+    ConvLSTM contract above: a ported checkpoint with the opposite packing
+    is shape-compatible but semantically permuted, which no shape check can
+    catch, so the packing must be an explicit knob
+    (``[TPU] CLSTM_GATE_ORDER = ZR | RZ`` when BOTTLENECK = CGRU)."""
 
     hidden: int
     kernel: int = 3
     dtype: Any = jnp.float32
+    gate_order: str = "zr"
 
     @nn.compact
     def __call__(self, carry, x):
+        if sorted(self.gate_order) != ["r", "z"]:
+            raise ValueError(
+                f"CGRU gate_order must be a permutation of 'zr', got "
+                f"{self.gate_order!r}"
+            )
         (h,) = carry
         p = self.kernel // 2
         zr = nn.Conv(
@@ -91,7 +104,10 @@ class ConvGRUCell(nn.Module):
             dtype=self.dtype,
             name="gates",
         )(jnp.concatenate([x, h], axis=-1))
-        z, r = jnp.split(zr, 2, axis=-1)
+        blocks = jnp.split(zr, 2, axis=-1)
+        z, r = (blocks[0], blocks[1]) if self.gate_order == "zr" else (
+            blocks[1], blocks[0]
+        )
         z = nn.sigmoid(z)
         r = nn.sigmoid(r)
         n = jnp.tanh(
@@ -167,7 +183,12 @@ class BiConvRNN(nn.Module):
         if self.cell == "CLSTM":
             cell_cls = functools.partial(ConvLSTMCell, gate_order=self.gate_order)
         else:
-            cell_cls = ConvGRUCell
+            # The shared gate_order knob carries cell-appropriate semantics:
+            # an "ifog" permutation for CLSTM, a "zr" permutation for CGRU.
+            # The CLSTM default passes through as the CGRU default; anything
+            # else must be a valid CGRU packing or the cell raises.
+            gru_order = "zr" if self.gate_order == "ifog" else self.gate_order
+            cell_cls = functools.partial(ConvGRUCell, gate_order=gru_order)
         per_dir = (
             self.hidden_channels // 2 if self.merge == "concat" else self.hidden_channels
         )

@@ -183,6 +183,11 @@ class SuperSloMo(nn.Module):
 
         :param frames: (B, T, H, W, 3) normalized frames.
         :param t_values: (n_t,) interpolation instants in (0, 1).
+        :param rnn_carry: optional recurrent-bottleneck state from a prior
+            ``__call__`` (batch B); the stage-2 carry is broadcast over the
+            folded t-grid. This path does NOT return an updated carry —
+            stateful streaming threads state through ``__call__`` and uses
+            this method for the dense t-grid render.
         :param with_bounds: trace the warps WITHOUT the in-band lax.cond
             guard (whose conditional operand copies cost more than the warp
             kernels at 720p) and additionally return the max-|flow| bound
@@ -270,6 +275,13 @@ class SuperSloMo(nn.Module):
         flowI_in = jnp.swapaxes(flowI_in, 1, 2).reshape(B * n_t, W_n, H, W_, 16)
 
         carry2 = rnn_carry.get("stage2") if rnn_carry else None
+        if carry2 is not None:
+            # stage-2 sees the t-grid folded into the batch (B*n_t); a
+            # streamed-in carry has batch B — broadcast each sample's state
+            # over its n_t copies (sample-major, matching tile()). Carry
+            # OUTPUTS are not returned by this fused path: stateful
+            # streaming uses __call__ (see docstring).
+            carry2 = jax.tree.map(tile, carry2)
         flowI_out_raw, _, _ = self.stage2(
             flowI_in, cross_encoding=enc_t, rnn_carry=carry2
         )

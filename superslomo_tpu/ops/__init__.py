@@ -91,7 +91,9 @@ def warp_multiflow(img, flows, in_band=None):
     if _WARP_MESH is not None:
         from superslomo_tpu.parallel.warp_spmd import warp_multiflow_sharded
 
-        return warp_multiflow_sharded(img, flows, _WARP_MESH, in_band=in_band)
+        return warp_multiflow_sharded(
+            img, flows, _WARP_MESH, in_band=in_band, unguarded=_GUARD_DISABLED
+        )
     use = _PALLAS_WARP_OVERRIDE
     if use is None:
         use = jax.default_backend() == "tpu"
@@ -117,7 +119,9 @@ def warp_auto(img, flow, in_band=None):
     if _WARP_MESH is not None:
         from superslomo_tpu.parallel.warp_spmd import warp_sharded
 
-        return warp_sharded(img, flow, _WARP_MESH, in_band=in_band)
+        return warp_sharded(
+            img, flow, _WARP_MESH, in_band=in_band, unguarded=_GUARD_DISABLED
+        )
     use = _PALLAS_WARP_OVERRIDE
     if use is None:
         use = jax.default_backend() == "tpu"

@@ -165,6 +165,42 @@ def test_evaluator_guarded_rerun_on_out_of_band(eval_cfg, monkeypatch):
     assert np.isfinite(results["PSNR"])
 
 
+def test_eval_loop_is_pipelined(eval_cfg, monkeypatch):
+    """run() must dispatch batch k+1's step BEFORE retrieving/scoring batch
+    k, so the host round trip and metric computation overlap device compute
+    (the async-dispatch pipeline the docstring promises)."""
+    from superslomo_tpu.data import readers as R
+    from superslomo_tpu.data.augmentations import Compose, EvalPad, Normalize, ToFloatArray
+
+    def build_transform(self):
+        mean, std = self.cfg.pixel_mean(), self.cfg.pixel_std()
+        return Compose([Normalize(mean, std), ToFloatArray(),
+                        EvalPad(padding=(0, 0, 2, 2))])
+
+    monkeypatch.setattr(R.Reader, "build_transform", build_transform)
+    eval_cfg.set("VAL", "BATCH_SIZE", 1)
+
+    params = init_params(eval_cfg)
+    ev = Evaluator(eval_cfg, params)
+
+    events = []
+    orig_submit, orig_score = ev._submit, ev._score
+
+    def spy_submit(*a, **k):
+        events.append("submit")
+        return orig_submit(*a, **k)
+
+    def spy_score(*a, **k):
+        events.append("score")
+        return orig_score(*a, **k)
+
+    ev._submit, ev._score = spy_submit, spy_score
+    results = ev.run(max_batches=3)
+    assert np.isfinite(results["PSNR"])
+    assert events[:3] == ["submit", "submit", "score"], events
+    assert events.count("submit") == events.count("score") == 3
+
+
 def test_evaluator_sintel_hfr_31x(tmp_path):
     """Sintel-HFR protocol: 32x interp factor → 31 intermediate frames in
     ONE fused multi-t step (the reference loops 31 full forwards,

@@ -94,6 +94,112 @@ def test_warp_sharded_gradients_match():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-4, rtol=1e-4)
 
 
+def _jaxpr_has_prim(jaxpr, name: str) -> bool:
+    """Recursively search a jaxpr (incl. sub-jaxprs of cond/scan/pjit/
+    custom_vjp eqns) for a primitive by name."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            return True
+        for v in eqn.params.values():
+            subs = v if isinstance(v, (list, tuple)) else [v]
+            for s in subs:
+                inner = getattr(s, "jaxpr", None)
+                if inner is not None and _jaxpr_has_prim(inner, name):
+                    return True
+                if hasattr(s, "eqns") and _jaxpr_has_prim(s, name):
+                    return True
+    return False
+
+
+def test_warp_sharded_guard_plumbing():
+    """The unguarded sharded warp must trace NO cond (the eval fast path's
+    whole point — the in-graph guard's operand copies cost more than the
+    kernels); the guarded one must carry the globally-coherent cond with
+    the all-gather fallback."""
+    from superslomo_tpu.parallel.warp_spmd import warp_sharded
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    B, H, W, C = 2, 64, 32, 2
+    img = jnp.zeros((B, H, W, C), jnp.float32)
+    flow = jnp.zeros((B, H, W, 2), jnp.float32)
+
+    fast = jax.make_jaxpr(lambda i, f: warp_sharded(i, f, mesh, unguarded=True))(
+        img, flow
+    )
+    assert not _jaxpr_has_prim(fast.jaxpr, "cond")
+    assert _jaxpr_has_prim(fast.jaxpr, "ppermute")
+
+    guarded = jax.make_jaxpr(lambda i, f: warp_sharded(i, f, mesh))(img, flow)
+    assert _jaxpr_has_prim(guarded.jaxpr, "cond")
+    assert _jaxpr_has_prim(guarded.jaxpr, "all_gather")
+
+
+def test_warp_sharded_out_of_band_allgather_exact():
+    """Vertical flow beyond the one-hop halo's reach: the guarded sharded
+    warp must all-gather the full height and stay exact (it used to gather
+    zero-filled halo rows — silently wrong)."""
+    from superslomo_tpu.ops.warp import backward_warp
+    from superslomo_tpu.parallel.warp_spmd import halo_reach, warp_sharded
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    B, H, W, C = 2, 64, 32, 3  # local H = 16 → reach = 15 px
+    assert halo_reach(4, H) == 15.0
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    flow = jnp.asarray(rng.standard_normal((B, H, W, 2)).astype(np.float32))
+    flow = flow.at[..., 1].add(40.0)  # well beyond the halo, within the image
+
+    out = np.asarray(warp_sharded(img, flow, mesh))
+    ref = np.asarray(backward_warp(img, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_warp_multiflow_sharded_out_of_band_exact():
+    from superslomo_tpu.ops.warp import backward_warp
+    from superslomo_tpu.parallel.warp_spmd import warp_multiflow_sharded
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    B, n, H, W, C = 2, 3, 64, 32, 3
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    flows = jnp.asarray(rng.standard_normal((B, n, H, W, 2)).astype(np.float32))
+    flows = flows.at[..., 1].add(-35.0)  # upward, beyond the halo
+
+    out = np.asarray(warp_multiflow_sharded(img, flows, mesh))
+    tiled = jnp.broadcast_to(img[:, None], (B, n, H, W, C)).reshape(-1, H, W, C)
+    ref = np.asarray(backward_warp(tiled, flows.reshape(-1, H, W, 2))).reshape(
+        B, n, H, W, C
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_eval_fast_path_no_cond():
+    """The evaluator's mesh fast path (unguarded warps + returned bound)
+    must trace no cond anywhere in the program — the documented ~7 ms/720p
+    cond-elision win under SPMD (it used to silently re-acquire the guard
+    because warp_spmd never saw the unguarded flag)."""
+    from superslomo_tpu import ops as _ops
+    from superslomo_tpu.config import ModelSpec
+    from superslomo_tpu.models.superslomo import SuperSloMo
+
+    mesh = make_mesh(n_data=2, n_spatial=2, devices=jax.devices()[:4])
+    model = SuperSloMo(spec=ModelSpec(n_frames=2))
+    B, H, W = 2, 64, 64
+    frames = jnp.zeros((B, 2, H, W, 3), jnp.float32)
+    t_values = jnp.arange(1, 8, dtype=jnp.float32) / 8.0
+    params = model.init(jax.random.PRNGKey(0), frames[:1], jnp.full((1, 1), 0.5))
+
+    def fast(p, f):
+        # exactly what Evaluator._step traces (eval/evaluate_interpolation.py)
+        with _ops.warp_mesh(mesh):
+            return model.apply(p, f, t_values, with_bounds=True,
+                               method=SuperSloMo.interpolate_multi_t)
+
+    jaxpr = jax.make_jaxpr(fast)(params, frames)
+    assert not _jaxpr_has_prim(jaxpr.jaxpr, "cond")
+    assert _jaxpr_has_prim(jaxpr.jaxpr, "ppermute")
+
+
 def test_trainer_spatial_sharded_step_matches_data_only():
     """The production train step under a (2 data x 2 spatial) mesh computes
     the same losses as under pure data parallelism — certifying the

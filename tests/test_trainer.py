@@ -83,6 +83,54 @@ def test_freeze_blocks_updates(train_cfg):
     )
 
 
+def _translating_pattern(shift: float, H: int = 32, W: int = 32) -> np.ndarray:
+    """Smooth 3-channel pattern translated by ``shift`` px in x and
+    ``shift/2`` px in y — a constant-flow scene with an exact interpolation
+    solution, so training MUST cut the loss quickly if gradients, freeze
+    masks, and the optimizer are wired right."""
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    u = 2 * np.pi * (xs - shift) / 16.0
+    v = 2 * np.pi * (ys - 0.5 * shift) / 16.0
+    return np.stack(
+        [np.sin(u) * np.cos(v), np.cos(u + v), np.sin(v) * np.sin(u + 1.0)],
+        axis=-1,
+    )
+
+
+def test_training_converges_on_synthetic_motion(train_cfg):
+    """30 jitted steps on deterministic synthetic motion: total loss must
+    drop by a healthy margin (catches sign/freeze/schedule bugs that
+    finiteness checks can't — the reference's implicit evidence was its
+    published training runs, scripts/main.py:168-205). Runs at the
+    reference's production LR 1e-4 (superslomo_original.ini): measured
+    trajectory 19.0 → 5.5 over 30 steps; LR ≥ 1e-3 diverges to NaN through
+    the parity-preserving epsilon-free visibility division."""
+    tr = Trainer(train_cfg, expt_name="conv_smoke")
+    frames = np.stack([_translating_pattern(0.0), _translating_pattern(2.0)])[None]
+    targets = _translating_pattern(1.0)[None, None]
+    frames = jnp.asarray(frames, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+    t = jnp.full((1, 1), 0.5, jnp.float32)
+    state = tr.init_state((frames, targets, t))
+
+    params, opt_state = state.params, state.opt_state
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss_vec = tr._train_step(
+            params, opt_state, tr.vgg_params, frames, targets, t
+        )
+        losses.append(float(np.asarray(loss_vec)[0]))
+    assert np.isfinite(losses).all()
+    first, last = losses[0], float(np.mean(losses[-5:]))
+    assert last < 0.7 * first, (
+        f"training failed to converge on an exactly-solvable scene: "
+        f"loss {first:.4f} -> {last:.4f} over 30 steps"
+    )
+    # and the loss at step 30 specifically beats step 1 (monotone-ish trend,
+    # not a lucky dip)
+    assert losses[-1] < losses[0]
+
+
 def test_train_loop_and_checkpoint(train_cfg, tmp_path):
     tr = Trainer(train_cfg, expt_name="t3")
     state = tr.train(max_steps=2)
