@@ -91,8 +91,10 @@ class SuperSloMo(nn.Module):
         )
         # Rematerialization: recompute each U-Net's activations in the
         # backward pass instead of keeping them live (jax.checkpoint) —
-        # unlocks batch>=8 at 352² per chip ([TPU] REMAT).
-        unet_cls = nn.remat(UNet) if self.spec.remat else UNet
+        # unlocks batch>=8 at 352² per chip ([TPU] REMAT). The s2d_head /
+        # input_is_s2d call flags (positions 4/5 counting self) are Python
+        # statics — mark them so the lifted checkpoint doesn't trace them.
+        unet_cls = nn.remat(UNet, static_argnums=(4, 5)) if self.spec.remat else UNet
         self.stage1 = unet_cls(
             out_channels=4,
             bottleneck=self.spec.stage1_bottleneck,
@@ -132,7 +134,7 @@ class SuperSloMo(nn.Module):
         carry1 = rnn_carry.get("stage1") if rnn_carry else None
         carry2 = rnn_carry.get("stage2") if rnn_carry else None
 
-        flowC_out, encoding, carry1_out = self.stage1(pairs, rnn_carry=carry1)
+        flowC_out, encoding, carry1_out = self.stage1(pairs, None, carry1, False, False)
         flowC_out = flowC_out.astype(jnp.float32)
 
         # Physics over the window axis: fold windows into the batch (NOT a
@@ -149,9 +151,7 @@ class SuperSloMo(nn.Module):
             )
         )
 
-        flowI_out, _, carry2_out = self.stage2(
-            flowI_in, cross_encoding=encoding, rnn_carry=carry2
-        )
+        flowI_out, _, carry2_out = self.stage2(flowI_in, encoding, carry2, False, False)
         flowI_out = flowI_out.astype(jnp.float32)
 
         pred_images = unfold(
@@ -209,13 +209,22 @@ class SuperSloMo(nn.Module):
     def _interpolate_multi_t(
         self, frames, t_values, rnn_carry=None, with_bounds: bool = False
     ):
+        from superslomo_tpu import ops as _ops
+
+        if with_bounds and _ops._WARP_MESH is None:
+            # the production single-device fast path: planar epilogue +
+            # direct-S2D stage-2 input (see _multi_t_planar). The sharded
+            # (mesh) and guarded (_safe_step) paths keep the channel-minor
+            # implementation below.
+            return self._multi_t_planar(frames, t_values, rnn_carry)
+
         pairs = make_pairs(frames)
         B, W_n, H, W_, C = pairs.shape
         n_t = t_values.shape[0]
         cdt = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else jnp.float32
 
         carry1 = rnn_carry.get("stage1") if rnn_carry else None
-        flowC_raw, encoding, _ = self.stage1(pairs, rnn_carry=carry1)
+        flowC_raw, encoding, _ = self.stage1(pairs, None, carry1, False, False)
         flowC_out = flowC_raw.astype(jnp.float32)
         # One cheap reduce over the raw (compute-dtype) stage-1 flow bounds
         # EVERY derived est flow for the warp-band guard: |F̂_t0| ≤ t·M and
@@ -282,9 +291,7 @@ class SuperSloMo(nn.Module):
             # OUTPUTS are not returned by this fused path: stateful
             # streaming uses __call__ (see docstring).
             carry2 = jax.tree.map(tile, carry2)
-        flowI_out_raw, _, _ = self.stage2(
-            flowI_in, cross_encoding=enc_t, rnn_carry=carry2
-        )
+        flowI_out_raw, _, _ = self.stage2(flowI_in, enc_t, carry2, False, False)
         # refined flows = est + Δ, so boundC + max|Δ| bounds the final warps
         bound_ref = boundC + jnp.max(jnp.abs(flowI_out_raw[..., 1:5])).astype(
             jnp.float32
@@ -313,6 +320,152 @@ class SuperSloMo(nn.Module):
         if with_bounds:
             return pred, jnp.maximum(boundC, bound_ref)
         return pred
+
+    # ------------------------------------------------------------------ #
+    def _multi_t_planar(self, frames, t_values, rnn_carry=None):
+        """The planar-epilogue fused multi-t step (always returns
+        ``(pred, bound)``; traced only for the unguarded host-checked-bound
+        protocol on a single device).
+
+        TPU rationale: every physics tensor here has 1-5 channels. In the
+        channel-minor (..., C) layout XLA puts those channels in the
+        128-lane dimension — so the est-flow algebra, the 5-channel head
+        extraction, and the warp kernel's u/v slicing each paid layout
+        copies (profiled ~15 ms of the 52 ms/step "data formatting" bucket
+        at 720p). This path instead keeps flows, visibility maps, and the
+        blend as (N, H, W) PLANES — perfectly tiled on (8, 128) vregs —
+        feeds the multi-flow warp through its planar entry
+        (ops.warp_multiflow_planar), extracts the stage-2 head straight
+        from its S2D form, and assembles the stage-2 U-Net input directly
+        in S2D (r, s, c) layout so the full-res 16-channel concat +
+        space_to_depth relayouts never exist. Numerics: identical algebra
+        to the channel-minor path (physics.interpolate_flows /
+        extract_stage2_outputs formulas), same bf16 quantization points.
+        """
+        from superslomo_tpu.ops import warp_multiflow_planar
+
+        pairs = make_pairs(frames)  # (B, W_n, H, W, 6) f32
+        B, W_n, H, W_, _ = pairs.shape
+        BW = B * W_n
+        n_t = t_values.shape[0]
+        cdt = jnp.bfloat16 if self.spec.compute_dtype == "bfloat16" else jnp.float32
+        f32 = jnp.float32
+
+        def head_planes(head_s2d, n_ch, dtype):
+            """(N, Hh, Wh, 4·n_ch) S2D head → n_ch full-res (N, H, W)
+            planes. ONE big transpose (XLA copy engine, near-BW) rather
+            than per-channel strided slices — strided multi-slice interleaves
+            lower into catastrophically slow gather-style fusions (measured
+            136 ms for the 64-way variant of this pattern)."""
+            N, Hh, Wh, _ = head_s2d.shape
+            ph = head_s2d.reshape(N, Hh, Wh, 2, 2, n_ch)
+            allp = ph.transpose(5, 0, 1, 3, 2, 4).reshape(
+                n_ch, N, 2 * Hh, 2 * Wh
+            ).astype(dtype)
+            return [allp[c] for c in range(n_ch)]
+
+        carry1 = rnn_carry.get("stage1") if rnn_carry else None
+        head1_s2d, encoding, _ = self.stage1(pairs, None, carry1, True, False)
+        # (B, W_n, H/2, W/2, 16) compute dtype; same elements as the d2s'd
+        # stage-1 flow, so the bound matches the channel-minor path's
+        boundC = jnp.max(jnp.abs(head1_s2d)).astype(f32)
+        h1 = head1_s2d.reshape(BW, H // 2, W_ // 2, 16)
+        # extract in the head's own (compute) dtype — the relayout copy
+        # halves in bf16 — and upcast to f32 inside the est-flow fusions
+        # (bf16→f32 is exact, so this matches the channel-minor path's
+        # "d2s then astype(f32)" values bit-for-bit)
+        u01, v01, u10, v10 = (
+            p.astype(f32) for p in head_planes(h1, 4, head1_s2d.dtype)
+        )
+
+        # est flows per component — physics.interpolate_flows algebra
+        tc = t_values.astype(f32).reshape(1, n_t, 1, 1)
+        u_t0 = -(1.0 - tc) * tc * u01[:, None] + (tc * tc) * u10[:, None]
+        v_t0 = -(1.0 - tc) * tc * v01[:, None] + (tc * tc) * v10[:, None]
+        u_t1 = (1.0 - tc) * (1.0 - tc) * u01[:, None] - tc * (1.0 - tc) * u10[:, None]
+        v_t1 = (1.0 - tc) * (1.0 - tc) * v01[:, None] - tc * (1.0 - tc) * v10[:, None]
+
+        # image planes via ONE transpose; stage-2 warps quantize to the
+        # compute dtype exactly as the channel-minor path does
+        planes6 = pairs.reshape(BW, H, W_, 6).transpose(0, 3, 1, 2)  # (BW,6,H,W)
+        pl0, pl1 = planes6[:, 0:3], planes6[:, 3:6]
+        w1t = warp_multiflow_planar(pl1.astype(cdt), u_t1, v_t1)  # (BW,3,n_t,H,W) f32
+        w0t = warp_multiflow_planar(pl0.astype(cdt), u_t0, v_t0)
+
+        # Stage-2 input assembled DIRECTLY in S2D (r, s, c) layout: ONE
+        # channel-planar concat then ONE reshape+transpose (both near-BW
+        # copies). Channel order [img1(3), w1t(3), est_t1(u,v), est_t0(u,v),
+        # w0t(3), img0(3)] matches physics.compute_stage2_inputs.
+        bc = lambda x: jnp.broadcast_to(
+            x[:, :, None], x.shape[:2] + (n_t,) + x.shape[2:]
+        )  # (BW, c, H, W) → (BW, c, n_t, H, W)
+        est = jnp.stack([u_t1, v_t1, u_t0, v_t0], axis=1)  # (BW, 4, n_t, H, W)
+        P = jnp.concatenate(
+            [
+                bc(pl1).astype(cdt),
+                w1t.astype(cdt),
+                est.astype(cdt),
+                w0t.astype(cdt),
+                bc(pl0).astype(cdt),
+            ],
+            axis=1,
+        )  # (BW, 16, n_t, H, W) compute dtype
+        Hh, Wh = H // 2, W_ // 2
+        # (B, W_n, 16, n_t, Hh, r, Wh, s) → (B, n_t, W_n, Hh, Wh, r, s, 16):
+        # one transpose producing the (r, s, c) channel-minor S2D tensor in
+        # the stage-2 fold order (t-grid into batch, sample-major)
+        flowI_s2d = (
+            P.reshape(B, W_n, 16, n_t, Hh, 2, Wh, 2)
+            .transpose(0, 3, 1, 4, 6, 5, 7, 2)
+            .reshape(B * n_t, W_n, Hh, Wh, 64)
+        )
+
+        def tile(x):
+            return jnp.broadcast_to(
+                x[:, None], (B, n_t) + x.shape[1:]
+            ).reshape((B * n_t,) + x.shape[1:])
+
+        enc_t = tile(encoding) if encoding is not None else None
+        carry2 = rnn_carry.get("stage2") if rnn_carry else None
+        if carry2 is not None:
+            carry2 = jax.tree.map(tile, carry2)
+
+        head2_s2d, _, _ = self.stage2(flowI_s2d, enc_t, carry2, True, True)
+        # (B*n_t, W_n, Hh, Wh, 20); bound over the dflow channels (c in
+        # 1..4 per phase) — the same element set as full-res [..., 1:5]
+        dmax = jnp.max(
+            jnp.abs(head2_s2d.reshape(head2_s2d.shape[:-1] + (4, 5))[..., 1:5])
+        )
+        bound_ref = boundC + dmax.astype(f32)
+
+        mid = W_n // 2
+        p0, p1, p2, p3, p4 = (
+            p.astype(f32)
+            for p in head_planes(head2_s2d[:, mid], 5, head2_s2d.dtype)
+        )  # (B*n_t, H, W), upcast fused into the consumers
+        v_1t = 1.0 / (1.0 + jnp.exp(-p0))  # physics.extract_stage2_outputs
+        v_0t = 1.0 - v_1t
+
+        grp = lambda x: x.reshape(B, n_t, H, W_)
+        mid_est = lambda x: x.reshape(B, W_n, n_t, H, W_)[:, mid]
+        u_p_t1 = mid_est(u_t1) + grp(p1)
+        v_p_t1 = mid_est(v_t1) + grp(p2)
+        u_p_t0 = mid_est(u_t0) + grp(p3)
+        v_p_t0 = mid_est(v_t0) + grp(p4)
+
+        # final-image warps in f32 (quality), planar in and out
+        mp = pairs[:, mid].transpose(0, 3, 1, 2)  # (B, 6, H, W)
+        mp0, mp1 = mp[:, 0:3], mp[:, 3:6]
+        w0 = warp_multiflow_planar(mp0, u_p_t0, v_p_t0)  # (B, 3, n_t, H, W)
+        w1 = warp_multiflow_planar(mp1, u_p_t1, v_p_t1)
+
+        t_g = t_values.astype(f32).reshape(1, 1, n_t, 1, 1)
+        v0e = grp(v_0t)[:, None]  # (B, 1, n_t, H, W)
+        v1e = grp(v_1t)[:, None]
+        weighted = (1.0 - t_g) * (w0 * v0e) + t_g * (w1 * v1e)
+        norm = (1.0 - t_g) * v0e + t_g * v1e
+        pred = (weighted / norm).transpose(0, 2, 3, 4, 1)  # (B, n_t, H, W, 3)
+        return pred, jnp.maximum(boundC, bound_ref)
 
 
 def intermediates_for_window(outputs: ModelOutputs, window: int) -> Intermediates:

@@ -93,10 +93,24 @@ class UNet(nn.Module):
         x: jnp.ndarray,
         cross_encoding: Optional[jnp.ndarray] = None,
         rnn_carry=None,
+        s2d_head: bool = False,
+        input_is_s2d: bool = False,
     ):
+        """``s2d_head``: return the head output in its native S2D form
+        (B, T, H/2, W/2, 4·out_channels) without the depth_to_space — the
+        fused multi-t epilogue extracts per-channel planes from it directly,
+        skipping the 5-channel full-res layout copies (profiled ~7.5 ms per
+        720p step). ``input_is_s2d``: x is already S2D (r, s, c) layout,
+        (B, T, H/2, W/2, 4·C) — the multi-t path assembles the stage-2
+        input in S2D space. Both are trace-time statics (remat marks them
+        static_argnums in models/superslomo.py)."""
         if x.ndim != 5:
             raise ValueError(f"expected (B, T, H, W, C), got {x.shape}")
-        B, T, H, W, C = x.shape
+        if input_is_s2d:
+            B, T, Hh, Wh, C4 = x.shape
+            H, W = 2 * Hh, 2 * Wh
+        else:
+            B, T, H, W, C = x.shape
         if H % 32 or W % 32:
             raise ValueError(f"H, W must be /32-divisible, got {H}x{W}")
 
@@ -105,7 +119,10 @@ class UNet(nn.Module):
         upblk = lambda name, feats: UpConvLReLU(feats, dtype=self.dtype, name=name)
 
         # ---- encoder block 1 (full res, polyphase S2D) ---------------------
-        h = space_to_depth(x.reshape(B * T, H, W, C))
+        if input_is_s2d:
+            h = x.reshape(B * T, H // 2, W // 2, x.shape[-1])
+        else:
+            h = space_to_depth(x.reshape(B * T, H, W, C))
         h = sblk("conv1a", 32, 7)(h)
         skip1_s2d = sblk("conv1b", 32, 7)(h)  # S2D of the full-res conv1b out
 
@@ -183,6 +200,12 @@ class UNet(nn.Module):
         h = s2d_concat(h, skip1_s2d)
         h = sblk("fuse_conv", 32, 3)(h)
         out = _S2DHead(self.out_channels, dtype=self.dtype, name="final_conv")(h)
+        if s2d_head:
+            return (
+                out.reshape(B, T, H // 2, W // 2, 4 * self.out_channels),
+                encoding,
+                carry_out,
+            )
         out = depth_to_space(out)
 
         return out.reshape(B, T, H, W, self.out_channels), encoding, carry_out

@@ -168,14 +168,41 @@ def upsample_conv(z: jnp.ndarray, w: jnp.ndarray, dtype=None) -> jnp.ndarray:
     top = _border_rows(z, w, True)  # (B, 2, 2Wh, Co) = full-res rows 0..1
     bot = _border_rows(z, w, False)
     as_row = lambda r: r.reshape(B, 2, Wh, 2, Co).transpose(0, 2, 1, 3, 4)
-    y5 = y5.at[:, 0].set(as_row(top))
-    y5 = y5.at[:, Hh - 1].set(as_row(bot))
-
+    top, bot = as_row(top), as_row(bot)  # (B, Wh, 2, 2, Co)
     left = _border_cols(z, w, True)  # (B, 2Hh, 2, Co) = full-res cols 0..1
     right = _border_cols(z, w, False)
     as_col = lambda c: c.reshape(B, Hh, 2, 2, Co)
-    y5 = y5.at[:, :, 0].set(as_col(left))
-    y5 = y5.at[:, :, Wh - 1].set(as_col(right))
+    left, right = as_col(left), as_col(right)  # (B, Hh, 2, 2, Co)
+
+    if Hh == 1 or Wh == 1:
+        # degenerate 2-px-tall/wide images (tests only): scatter semantics,
+        # later writes win at overlaps
+        y5 = y5.at[:, 0].set(top).at[:, Hh - 1].set(bot)
+        y5 = y5.at[:, :, 0].set(left).at[:, :, Wh - 1].set(right)
+        return y5.reshape(B, Hh, Wh, 4 * Co)
+
+    # Apply the border ring ADDITIVELY as zero-padded corrections instead of
+    # four dynamic-update-slices: DUS of thin rows/columns ran at ~3 GB/s on
+    # TPU (profiled ~5.5 ms/step at 720p), while the pad+add lowers into the
+    # same loop fusion as the caller's bias+LeakyReLU epilogue. Corner
+    # algebra matches the overwrite order (rows first, columns win):
+    #   corr_col = col_target − (y5 + row corrections) at that column.
+    corr_top = (top - y5[:, 0])[:, None]  # (B, 1, Wh, 2, 2, Co)
+    corr_bot = (bot - y5[:, Hh - 1])[:, None]
+    col0 = y5[:, :, 0].at[:, 0].set(top[:, 0]).at[:, Hh - 1].set(bot[:, 0])
+    colL = (
+        y5[:, :, Wh - 1]
+        .at[:, 0].set(top[:, Wh - 1])
+        .at[:, Hh - 1].set(bot[:, Wh - 1])
+    )
+    corr_left = (left - col0)[:, :, None]  # (B, Hh, 1, 2, 2, Co)
+    corr_right = (right - colL)[:, :, None]
+
+    z4 = ((0, 0),) * 4
+    y5 = y5 + jnp.pad(corr_top, ((0, 0), (0, Hh - 1)) + z4)
+    y5 = y5 + jnp.pad(corr_bot, ((0, 0), (Hh - 1, 0)) + z4)
+    y5 = y5 + jnp.pad(corr_left, ((0, 0), (0, 0), (0, Wh - 1)) + z4[:3])
+    y5 = y5 + jnp.pad(corr_right, ((0, 0), (0, 0), (Wh - 1, 0)) + z4[:3])
     return y5.reshape(B, Hh, Wh, 4 * Co)
 
 

@@ -301,33 +301,32 @@ def _warp_kernel_mf(img_ref, u_ref, v_ref, out_ref, *, h_total, w_total, sub,
         jax.lax.fori_loop(0, qhi - qlo + 1, body, 0)
 
 
-def _warp_image_multiflow(img: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
-    """One (H, W, C) image warped by (n, H, W, 2) f32 flows → (n, H, W, C).
+def _warp_planes_core(planes: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                      H: int, W: int) -> jnp.ndarray:
+    """Shared multi-flow kernel launch on UNPADDED planar inputs.
 
-    Channel planes are DMA'd to VMEM once and shared by all n warps: either
-    all C channels resident (bf16 720p and small f32) with grid (n, i), or
-    one channel at a time with grid (C, n, i)."""
-    H, W, C = img.shape
-    n = flows.shape[0]
-    sub = _sublane(img.dtype)
-    flows = flows.astype(jnp.float32)
+    planes: (C, H, W) image planes (f32/bf16); u, v: (n, H, W) f32 flow
+    components. → (C, n, H, W) f32. Channel planes are DMA'd to VMEM once
+    and shared by all n warps: either all C channels resident (bf16 720p and
+    small f32) with grid (n, i), or one channel at a time via a Python loop
+    of single-plane calls."""
+    C = planes.shape[0]
+    n = u.shape[0]
+    sub = _sublane(planes.dtype)
     Wl = _round_up(W, _LANES)
     Hp = _round_up(H, _HB)
     Hpad = _round_up(Hp + 2 * _BAND + 2 * sub, sub)
 
-    planes = jnp.stack(
-        [
-            jnp.pad(img[..., c], ((_BAND, Hpad - H - _BAND), (0, Wl - W)))
-            for c in range(C)
-        ]
+    planes = jnp.pad(
+        planes, ((0, 0), (_BAND, Hpad - H - _BAND), (0, Wl - W))
     )  # (C, Hpad, Wl)
-    u = jnp.pad(flows[..., 0], ((0, 0), (0, Hp - H), (0, Wl - W)))
-    v = jnp.pad(flows[..., 1], ((0, 0), (0, Hp - H), (0, Wl - W)))
+    u = jnp.pad(u.astype(jnp.float32), ((0, 0), (0, Hp - H), (0, Wl - W)))
+    v = jnp.pad(v.astype(jnp.float32), ((0, 0), (0, Hp - H), (0, Wl - W)))
 
     grid = (n, Hp // _HB)
     uv_spec = pl.BlockSpec((1, _HB, Wl), lambda f, i: (f, i, 0),
                            memory_space=pltpu.VMEM)
-    if fits_vmem(H, W, img.dtype.itemsize, n_chan=C):
+    if fits_vmem(H, W, planes.dtype.itemsize, n_chan=C):
         # all channels resident in one kernel. The plane spec's index map is
         # CONSTANT over the grid, so Pallas single-buffers it — one DMA for
         # the whole (flow, row-block) sweep.
@@ -365,7 +364,73 @@ def _warp_image_multiflow(img: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
             for c in range(C)
         ]
         out = jnp.concatenate(outs, axis=0)
-    return out[:, :, :H, :W].transpose(1, 2, 3, 0).astype(img.dtype)
+    return out[:, :, :H, :W]
+
+
+def _warp_image_multiflow(img: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
+    """One (H, W, C) image warped by (n, H, W, 2) f32 flows → (n, H, W, C)
+    (channel-minor wrapper over the planar core)."""
+    H, W, C = img.shape
+    planes = jnp.stack([img[..., c] for c in range(C)])
+    out = _warp_planes_core(planes, flows[..., 0], flows[..., 1], H, W)
+    return out.transpose(1, 2, 3, 0).astype(img.dtype)
+
+
+def _planar_via_xla(planes, u, v):
+    """XLA-gather reference of the planar multi-flow warp (gradients +
+    CPU/out-of-band fallback). planes (B, C, H, W); u, v (B, n, H, W)."""
+    img = planes.transpose(0, 2, 3, 1)
+    flows = jnp.stack([u, v], axis=-1)
+    out = _mf_tiled_xla(img, flows)  # (B, n, H, W, C)
+    return out.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
+
+
+@jax.custom_vjp
+def _mf_unguarded_planar(planes, u, v):
+    B, C, H, W = planes.shape
+    return jax.vmap(lambda p, uu, vv: _warp_planes_core(p, uu, vv, H, W))(
+        planes, u, v
+    )
+
+
+def _mfu_p_fwd(planes, u, v):
+    return _mf_unguarded_planar(planes, u, v), (planes, u, v)
+
+
+def _mfu_p_bwd(res, g):
+    planes, u, v = res
+    _, vjp = jax.vjp(_planar_via_xla, planes, u, v)
+    return vjp(g)
+
+
+_mf_unguarded_planar.defvjp(_mfu_p_fwd, _mfu_p_bwd)
+
+
+def backward_warp_multiflow_planar(planes: jnp.ndarray, u: jnp.ndarray,
+                                   v: jnp.ndarray) -> jnp.ndarray:
+    """Planar-native multi-flow warp: (B, C, H, W) planes x (B, n, H, W)
+    f32 u/v components → (B, C, n, H, W) f32.
+
+    The fused multi-t epilogue keeps flows and visibility maps as planes
+    (models/superslomo.py): a (H, W) plane tiles the TPU's (8, 128)
+    vregs perfectly, where the channel-minor (H, W, 2) layout would put 2
+    channels in the 128-lane dimension — every surrounding elementwise op
+    and the kernel's own u/v slicing paid layout copies for it. This entry
+    point skips both the channel slicing on the way in and the
+    planar→channel-minor transpose on the way out of _warp_image_multiflow.
+
+    ALWAYS unguarded (no in-graph band cond): callers run under the
+    host-checked-bound protocol (SuperSloMo.interpolate_multi_t
+    with_bounds=True). Falls back to the channel-minor colsplit path when a
+    plane exceeds the shared-residency VMEM budget (1080p f32)."""
+    B, C, H, W = planes.shape
+    if not _mf_plane_fits(H, W, planes.dtype.itemsize):
+        img = planes.transpose(0, 2, 3, 1)
+        flows = jnp.stack([u, v], axis=-1)
+        out = backward_warp_multiflow(img, flows, unguarded=True)
+        return out.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
+    return _mf_unguarded_planar(planes, u.astype(jnp.float32),
+                                v.astype(jnp.float32))
 
 
 def _mf_tiled_xla(img, flows):

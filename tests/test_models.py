@@ -260,6 +260,12 @@ def test_multi_t_matches_per_t_forwards_ssmr(rng):
     fused = m.apply(params, frames, t_values,
                     method=SuperSloMo.interpolate_multi_t)
     assert fused.shape == (1, 2, 32, 32, 3)
+    # the planar fast path must agree on the recurrent multi-window model too
+    pred_fast, bound = m.apply(params, frames, t_values, with_bounds=True,
+                               method=SuperSloMo.interpolate_multi_t)
+    np.testing.assert_allclose(np.asarray(pred_fast), np.asarray(fused),
+                               atol=1e-5, rtol=1e-5)
+    assert np.isfinite(float(bound))
     for k, tv in enumerate(np.asarray(t_values)):
         out = m.apply(params, frames, jnp.full((1, 3), tv))
         mid = out.pred_images.shape[1] // 2
