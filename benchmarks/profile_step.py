@@ -43,12 +43,17 @@ def main():
     p.add_argument("--w", type=int, default=1280)
     p.add_argument("--n-t", type=int, default=7)
     p.add_argument("--trace", default=None, help="jax.profiler trace output dir")
+    p.add_argument("--unguarded", action="store_true",
+                   help="profile the production eval fast path (planar "
+                        "epilogue, with_bounds=True) instead of the guarded "
+                        "step")
+    p.add_argument("--skip-components", action="store_true",
+                   help="only time/trace the full step (skips the per-"
+                        "component compiles)")
     args = p.parse_args()
 
     from superslomo_tpu.config import ModelSpec
     from superslomo_tpu.models.superslomo import SuperSloMo
-    from superslomo_tpu.models.unet import UNet
-    from superslomo_tpu.ops import warp_auto
 
     H, W, n_t = args.h, args.w, args.n_t
     rng = np.random.default_rng(0)
@@ -62,7 +67,39 @@ def main():
     model = SuperSloMo(spec=spec)
     params = model.init(jax.random.PRNGKey(0), frames, jnp.full((1, 1), 0.5))
 
-    # components
+    if not args.skip_components:
+        _profile_components(rng, H, W, n_t, dt)
+
+    if args.unguarded:
+        step = lambda p, f: model.apply(
+            p, f, t_values, with_bounds=True,
+            method=SuperSloMo.interpolate_multi_t,
+        )[0]
+    else:
+        step = lambda p, f: model.apply(
+            p, f, t_values, method=SuperSloMo.interpolate_multi_t
+        )
+    if args.trace:
+        # trace the EXACT bench program (no sum wrapper — reuses the warm
+        # compile cache entry); 3 steps so parse_trace.py can average
+        jstep = jax.jit(step)
+        jax.block_until_ready(jstep(params, frames))  # compile+warm
+        t0 = time.time()
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                out = jstep(params, frames)
+            jax.block_until_ready(out)
+        print(f"3 traced steps: {(time.time() - t0) / 3 * 1e3:.2f} ms/step")
+        print(f"trace written to {args.trace}")
+    else:
+        ms = timed(f"FULL multi-t step ({n_t} frames)", step, params, frames)
+        print(f"{'=> frames/sec/chip':38s} {n_t / (ms / 1e3):8.2f}")
+
+
+def _profile_components(rng, H, W, n_t, dt):
+    from superslomo_tpu.models.unet import UNet
+    from superslomo_tpu.ops import warp_auto
+
     s1 = UNet(out_channels=4, bottleneck="CONV", emit_encoding=True, dtype=dt)
     x1 = jnp.asarray(rng.standard_normal((1, 1, H, W, 6), np.float32))
     p1 = s1.init(jax.random.PRNGKey(0), x1)
@@ -77,15 +114,6 @@ def main():
     img = jnp.asarray(rng.standard_normal((n_t, H, W, 3), np.float32))
     flow = jnp.asarray((rng.standard_normal((n_t, H, W, 2)) * 20).astype(np.float32))
     timed(f"backward warp ({n_t} x {H}x{W}x3)", warp_auto, img, flow)
-
-    step = lambda p, f: model.apply(p, f, t_values, method=SuperSloMo.interpolate_multi_t)
-    ms = timed(f"FULL multi-t step ({n_t} frames)", step, params, frames)
-    print(f"{'=> frames/sec/chip':38s} {n_t / (ms / 1e3):8.2f}")
-
-    if args.trace:
-        with jax.profiler.trace(args.trace):
-            jax.block_until_ready(jax.jit(step)(params, frames))
-        print(f"trace written to {args.trace}")
 
 
 if __name__ == "__main__":
