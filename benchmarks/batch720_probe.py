@@ -52,7 +52,11 @@ def build(h, w, n_t, batch):
         rng.standard_normal((batch, 2, h, w, 3), dtype=np.float32)
     )
     t_values = jnp.arange(1, n_t + 1, dtype=jnp.float32) / (n_t + 1)
-    params = model.init(jax.random.PRNGKey(0), frames[:1], jnp.full((1, 1), 0.5))
+    from superslomo_tpu.ops import with_prepared
+
+    params = with_prepared(
+        model.init(jax.random.PRNGKey(0), frames[:1], jnp.full((1, 1), 0.5))
+    )
     return model, params, frames, t_values
 
 

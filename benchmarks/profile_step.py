@@ -66,6 +66,10 @@ def main():
     spec = ModelSpec(n_frames=2, compute_dtype="bfloat16" if on_tpu else "float32")
     model = SuperSloMo(spec=spec)
     params = model.init(jax.random.PRNGKey(0), frames, jnp.full((1, 1), 0.5))
+    if args.unguarded:  # match the production eval path exactly
+        from superslomo_tpu.ops import with_prepared
+
+        params = with_prepared(params)
 
     if not args.skip_components:
         _profile_components(rng, H, W, n_t, dt)

@@ -24,9 +24,12 @@ log = logging.getLogger(__name__)
 
 
 def evaluate_flow(cfg: Config, params, max_samples: Optional[int] = None):
+    from superslomo_tpu import ops as _ops
+
     model = SuperSloMo(spec=cfg.model_spec())
     reader = SintelFlowReader(cfg)
     n_frames = cfg.getint("TRAIN", "N_FRAMES")
+    params = _ops.with_prepared(params)  # hoisted weight transforms
 
     @jax.jit
     def flow_step(p, frames):

@@ -42,7 +42,10 @@ class Evaluator:
 
         _ops.apply_warp_config(cfg)  # [TPU] USE_PALLAS_WARP
         self.cfg = cfg
-        self.params = params
+        # hoist the polyphase/upconv weight transforms out of the hot
+        # per-batch program: one tiny jitted prepare pass per session
+        # (ops/prepare.py; bit-identical — tests/test_prepare.py)
+        self.params = _ops.with_prepared(params)
         self.dataset = cfg.get("DATA", "DATASET").upper()
         assert self.dataset in ("SINTEL_HFR", "ADOBE", "SLOWFLOW", "VIMEO"), "Invalid dataset."
         self.model = SuperSloMo(spec=cfg.model_spec())

@@ -38,7 +38,8 @@ class Interpolator:
 
         _ops.apply_warp_config(cfg)  # [TPU] USE_PALLAS_WARP
         self.cfg = cfg
-        self.params = params
+        # pre-hoisted polyphase/upconv weights (ops/prepare.py)
+        self.params = _ops.with_prepared(params)
         self.rate = upsample_rate
         self.dump_intermediates = dump_intermediates
         self.n_frames = cfg.getint("TRAIN", "N_FRAMES")

@@ -9,6 +9,10 @@ import contextlib
 
 from superslomo_tpu.ops.warp import backward_warp  # noqa: F401
 from superslomo_tpu.ops.pooling import avg_pool_2x2  # noqa: F401
+from superslomo_tpu.ops.prepare import (  # noqa: F401
+    prepare_inference_params,
+    with_prepared,
+)
 from superslomo_tpu.ops.resize import upsample_2x_bilinear  # noqa: F401
 
 _PALLAS_WARP_OVERRIDE = None  # None = AUTO (TPU → Pallas kernel)

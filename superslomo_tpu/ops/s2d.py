@@ -149,7 +149,16 @@ def remap_kernel(w: jnp.ndarray) -> tuple[jnp.ndarray, tuple[int, int]]:
 class S2DConv(nn.Module):
     """KxK same-padding conv with bias on an S2D tensor → S2D tensor.
     Param shapes/names identical to nn.Conv's HWIO (kernel (K, K, Cin, Cout),
-    bias (Cout,)) so checkpoints port unchanged."""
+    bias (Cout,)) so checkpoints port unchanged.
+
+    When the caller supplies a ``prepared`` variable collection (built once
+    per eval session by ops/prepare.py), the polyphase kernel remap — a
+    zeros + ~K'²·16 dynamic-update-slice chain that costs ~10 ms/step on TPU
+    when traced into the hot program — is skipped and the pre-remapped
+    (K', K', 4Cin, 4Cout) kernel is consumed directly. The remap is a pure
+    scatter (no arithmetic), so remap(cast(w)) == cast(remap(w)) and both
+    paths are bit-identical. Training (gradients to the original params)
+    keeps the in-trace remap."""
 
     features: int
     kernel: int
@@ -158,14 +167,22 @@ class S2DConv(nn.Module):
     @nn.compact
     def __call__(self, x_s2d):
         cin = x_s2d.shape[-1] // 4
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.kernel, self.kernel, cin, self.features),
-            jnp.float32,
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        Wp, pad = remap_kernel(kernel.astype(self.dtype))
+        if not self.is_initializing() and self.has_variable("prepared", "kernel"):
+            Wp = self.get_variable("prepared", "kernel").astype(self.dtype)
+            bias4 = self.get_variable("prepared", "bias").astype(self.dtype)
+            _, _, pad = _remap_plan(self.kernel)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (self.kernel, self.kernel, cin, self.features),
+                jnp.float32,
+            )
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            Wp, pad = remap_kernel(kernel.astype(self.dtype))
+            bias4 = jnp.tile(bias.astype(self.dtype), 4)
         Y = jax.lax.conv_general_dilated(
             x_s2d.astype(self.dtype),
             Wp,
@@ -174,7 +191,7 @@ class S2DConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype,
         )
-        return Y + jnp.tile(bias.astype(self.dtype), 4)
+        return Y + bias4
 
 
 class S2DConvLReLU(nn.Module):

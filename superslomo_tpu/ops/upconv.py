@@ -136,7 +136,9 @@ def _border_cols(z, w, left: bool):
     return _conv(strip, w, ((1, 1), pad_cols))
 
 
-def upsample_conv(z: jnp.ndarray, w: jnp.ndarray, dtype=None) -> jnp.ndarray:
+def upsample_conv(
+    z: jnp.ndarray, w: jnp.ndarray, dtype=None, wc: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """conv3x3_same(upsample_2x_bilinear(z), w) in s2d form, without ever
     materializing the upsample.
 
@@ -153,12 +155,18 @@ def upsample_conv(z: jnp.ndarray, w: jnp.ndarray, dtype=None) -> jnp.ndarray:
     :param w: (3, 3, Cin, Cout) the full-resolution conv's kernel.
     :param dtype: compute dtype for the convs; the kernel fold happens in
         w's own (param) dtype first for precision.
+    :param wc: optional pre-folded (3, 3, Cin, 4·Cout) composite kernel
+        (ops/prepare.py) — skips tracing fold_upsample_kernel into the hot
+        program. fold(cast(w)) == cast(fold(w)) is NOT exact in bf16, so the
+        prepared kernel is stored in param dtype and cast here, exactly like
+        the in-trace fold.
     :returns: (B, Hh, Wh, 4·Cout) — space_to_depth of the (B, 2Hh, 2Wh,
         Cout) result, bias/activation NOT applied.
     """
     B, Hh, Wh, Ci = z.shape
     Co = w.shape[-1]
-    wc = fold_upsample_kernel(w)
+    if wc is None:
+        wc = fold_upsample_kernel(w)
     if dtype is not None:
         z, w, wc = z.astype(dtype), w.astype(dtype), wc.astype(dtype)
 
@@ -187,11 +195,34 @@ def upsample_conv(z: jnp.ndarray, w: jnp.ndarray, dtype=None) -> jnp.ndarray:
     # same loop fusion as the caller's bias+LeakyReLU epilogue. Corner
     # algebra matches the overwrite order (rows first, columns win):
     #   corr_col = col_target − (y5 + row corrections) at that column.
-    corr_top = (top - y5[:, 0])[:, None]  # (B, 1, Wh, 2, 2, Co)
-    corr_bot = (bot - y5[:, Hh - 1])[:, None]
-    col0 = y5[:, :, 0].at[:, 0].set(top[:, 0]).at[:, Hh - 1].set(bot[:, 0])
+    # The interior's boundary rows/columns are RECOMPUTED from 2-row/2-col
+    # strips of z rather than sliced out of y5: a strided column slice of
+    # the big (B, Hh, Wh, 2, 2, Co) tensor lowered into a ~77 GB/s gather
+    # fusion (profiled 6.3 ms/step at 720p, ~12 ms at 1080p) while the
+    # narrow convs are sub-0.1 ms.
+    def interior_rows(lo: bool):
+        # SAME conv of a 2-row strip: output row 0 (lo) sees [zero-pad,
+        # strip0, strip1] == the true boundary taps; row 1 (hi) sees
+        # [strip0, strip1, zero-pad] likewise. The other row is invalid
+        # (its outer tap is a pad standing in for a real z row) and unused.
+        zs = z[:, 0:2] if lo else z[:, Hh - 2 : Hh]
+        y2 = _conv(zs, wc, "SAME")  # (B, 2, Wh, 4Co)
+        y2 = y2[:, 0:1] if lo else y2[:, 1:2]
+        return y2.reshape(B, Wh, 2, 2, Co)
+
+    def interior_cols(lo: bool):
+        zs = z[:, :, 0:2] if lo else z[:, :, Wh - 2 : Wh]
+        y2 = _conv(zs, wc, "SAME")  # (B, Hh, 2, 4Co)
+        y2 = y2[:, :, 0:1] if lo else y2[:, :, 1:2]
+        return y2.reshape(B, Hh, 2, 2, Co)
+
+    corr_top = (top - interior_rows(True))[:, None]  # (B, 1, Wh, 2, 2, Co)
+    corr_bot = (bot - interior_rows(False))[:, None]
+    col0 = (
+        interior_cols(True).at[:, 0].set(top[:, 0]).at[:, Hh - 1].set(bot[:, 0])
+    )
     colL = (
-        y5[:, :, Wh - 1]
+        interior_cols(False)
         .at[:, 0].set(top[:, Wh - 1])
         .at[:, Hh - 1].set(bot[:, Wh - 1])
     )
@@ -210,7 +241,12 @@ class UpConvLReLU(nn.Module):
     """upsample_2x_bilinear → 3x3 same conv (+bias) → LeakyReLU(0.1), as the
     composite half-grid conv; output in s2d form. Param names/shapes match
     ConvLReLU ('conv/kernel' (3,3,Cin,Cout), 'conv/bias') so checkpoints
-    port unchanged."""
+    port unchanged.
+
+    A ``prepared`` variable collection (ops/prepare.py) supplies the
+    pre-folded composite kernel so fold_upsample_kernel isn't traced into
+    the hot program; the original kernel is still read for the thin border
+    strips (which need the unfolded 3x3 weights)."""
 
     features: int
     dtype: Any = jnp.float32
@@ -220,7 +256,12 @@ class UpConvLReLU(nn.Module):
         cin = z.shape[-1]
         # params live under a 'conv' child scope mirroring nn.Conv's names
         w, b = _UpConvParams(self.features, name="conv")(cin)
-        y = upsample_conv(z, w, dtype=self.dtype)
+        wc = None
+        if not self.is_initializing() and self.has_variable(
+            "prepared", "kernel_folded"
+        ):
+            wc = self.get_variable("prepared", "kernel_folded")
+        y = upsample_conv(z, w, dtype=self.dtype, wc=wc)
         y = y + jnp.tile(b.astype(self.dtype), 4)
         return nn.leaky_relu(y, negative_slope=0.1)
 
