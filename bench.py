@@ -87,7 +87,7 @@ def step_model_tflops(h: int, w: int, n_t: int) -> float:
     return 2.0 * (s1 + n_t * s2) / 1e3
 
 
-def build_multi_t_step(h, w, n_t, compute_dtype):
+def build_multi_t_step(h, w, n_t, compute_dtype, batch=1):
     from superslomo_tpu.config import ModelSpec
     from superslomo_tpu.models.superslomo import SuperSloMo
     from superslomo_tpu.ops import with_prepared
@@ -95,9 +95,13 @@ def build_multi_t_step(h, w, n_t, compute_dtype):
     spec = ModelSpec(n_frames=2, compute_dtype=compute_dtype)
     model = SuperSloMo(spec=spec)
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.standard_normal((1, 2, h, w, 3), dtype=np.float32))
+    frames = jnp.asarray(
+        rng.standard_normal((batch, 2, h, w, 3), dtype=np.float32)
+    )
     t_values = jnp.arange(1, n_t + 1, dtype=jnp.float32) / (n_t + 1)
-    params = model.init(jax.random.PRNGKey(0), frames, jnp.full((1, 1), 0.5))
+    params = model.init(
+        jax.random.PRNGKey(0), frames[:1], jnp.full((1, 1), 0.5)
+    )
     # the production eval fast path: unguarded warps + host-checked bound,
     # with the polyphase/upconv weight transforms pre-hoisted (ops/prepare.py)
     params = with_prepared(params)
@@ -126,6 +130,46 @@ def timed_fps(step, params, frames, n_t, iters):
     return mean_ms, float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
 
 
+def bench_batched_720p(result, h, w, n_t, compute_dtype):
+    """Batched-throughput refinement of the headline: batch >= 2 became
+    compilable once the vmapped multiflow Pallas kernel was replaced by
+    per-image calls (ops/warp_pallas._batched_pallas; isolated by
+    benchmarks/batch720_probe.py). The reference evaluates at batch 8
+    (configs VAL); frames/sec/chip is the protocol metric, so the headline
+    reports the best batch, with B=1's dispatch latency kept as p50/p99."""
+    base_fps = result["value"]
+    for B in (2, 4):
+        if remaining_s() < 300:
+            break
+        try:
+            step, params, frames = build_multi_t_step(h, w, n_t, compute_dtype, B)
+            out = step(params, frames)
+            out.block_until_ready()
+            iters = 10
+            t0 = time.time()
+            for _ in range(iters):
+                out = step(params, frames)
+            out.block_until_ready()
+            fps = B * n_t * iters / (time.time() - t0)
+            result[f"fps_720p_b{B}"] = round(fps, 3)
+            if fps > result["value"]:
+                result["value"] = round(fps, 3)
+                result["batch"] = B
+                result["mfu"] = round(
+                    B * step_model_tflops(h, w, n_t) / (B * n_t / fps)
+                    / PEAK_TFLOPS, 4
+                )
+                if result.get("vs_baseline"):
+                    result["vs_baseline"] = round(
+                        result["vs_baseline"] * fps / base_fps, 2
+                    )
+                    base_fps = fps
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            result.setdefault("failed", []).append(f"b{B}_720p")
+        emit(result)
+
+
 def bench_1080p(result, compute_dtype, n_t):
     # 1080p, 16 streams, sequential batch-1 dispatches (async-pipelined)
     s1080, p1080, f1080 = build_multi_t_step(1088, 1920, n_t, compute_dtype)
@@ -136,6 +180,24 @@ def bench_1080p(result, compute_dtype, n_t):
         out = s1080(p1080, f1080)
     out.block_until_ready()
     result["fps_1080p_16stream"] = round(n_streams * n_t / (time.time() - t0), 3)
+    emit(result)
+    if remaining_s() < 300:
+        return
+    # same 16 streams, two per dispatch (the batch>=2 unlock)
+    try:
+        s2, p2, f2 = build_multi_t_step(1088, 1920, n_t, compute_dtype, 2)
+        s2(p2, f2).block_until_ready()
+        t0 = time.time()
+        for _ in range(n_streams // 2):
+            out = s2(p2, f2)
+        out.block_until_ready()
+        fps = n_streams * n_t / (time.time() - t0)
+        if fps > result["fps_1080p_16stream"]:
+            result["fps_1080p_16stream"] = round(fps, 3)
+            result["batch_1080p"] = 2
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        result.setdefault("failed", []).append("b2_1080p")
 
 
 def bench_ssmr_stream(result):
@@ -285,6 +347,7 @@ def main():
     # secondaries: each guarded and budgeted; result re-emitted after each
     # (worst-case costs assume a cold compile over the axon tunnel)
     secondaries = [
+        (bench_batched_720p, (result, H, W, n_t, compute_dtype), 300),
         (bench_1080p, (result, compute_dtype, n_t), 240),
         (bench_train, (result,), 300),
         (bench_ssmr_stream, (result,), 600),

@@ -140,12 +140,26 @@ def probe_split(batch, h=736, w=1280, n_t=7):
     return batch * n_t / dt
 
 
+def probe_noplw(batch):
+    """fused with the Pallas warp disabled (pure-XLA gather warps): if this
+    compiles where 'fused' crashes, the helper crash is Mosaic compiling
+    the multiflow kernel at batch>=2."""
+    from superslomo_tpu import ops as _ops
+
+    _ops.set_pallas_warp(False)
+    try:
+        return probe_fused(batch)
+    finally:
+        _ops.set_pallas_warp(None)
+
+
 MODES = {
     "fused": lambda b: probe_fused(b),
     "guarded": lambda b: probe_fused(b, guarded=True),
     "split": lambda b: probe_split(b),
     "nt3": lambda b: probe_fused(b, n_t=3),
     "res544": lambda b: probe_fused(b, h=544, w=960),
+    "noplw": probe_noplw,
 }
 
 

@@ -2,14 +2,22 @@
 
 Finds the newest ``*.trace.json.gz`` under a profile dir written by
 ``jax.profiler.trace`` (e.g. benchmarks/profile_step.py --trace DIR), keeps
-only events on the TPU device track, and buckets XLA ops by class
-(convolution fusions, copies/transposes, pallas kernels, ...) so the
-"where did the milliseconds go" question has a one-command answer.
+only events on the TPU device track, and buckets XLA ops by the profiler's
+own ``hlo_category`` (convolution fusion / data formatting / loop fusion /
+custom-call / ...), falling back to name-pattern classification for traces
+that lack it. Parent ``jit_*`` spans are excluded (they duplicate their
+children's time).
 
     python benchmarks/parse_trace.py /tmp/trace720 [--top 30] [--steps N]
+    python benchmarks/parse_trace.py /tmp/before --diff /tmp/after --steps 3
 
-``--steps``: number of identical steps captured in the trace; totals are
-divided by it to report per-step time.
+``--steps``: number of identical steps captured; totals are divided by it.
+``--diff``: compare two traces category-by-category — the ONLY reliable way
+to judge an optimization. Per-op *source attribution* in XLA traces is
+approximate (fusions carry one representative source line; a round-3
+"weight-remap fusion" turned out to be mostly unrelated data work), so
+conclusions should rest on category totals and controlled before/after
+diffs, never on single-site attributions.
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ def find_trace(root: str) -> str:
 
 
 def classify(name: str) -> str:
+    """Name-pattern fallback for traces without hlo_category args."""
     n = name.lower()
     if "convolution" in n or "conv" in n and "fusion" not in n:
         return "convolution"
@@ -56,19 +65,12 @@ def classify(name: str) -> str:
     return "other"
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("trace_dir")
-    ap.add_argument("--top", type=int, default=30)
-    ap.add_argument("--steps", type=int, default=1)
-    args = ap.parse_args()
-
-    path = find_trace(args.trace_dir)
+def load(trace_dir: str):
+    """→ (per_class Counter, per_op Counter, trace_path)."""
+    path = find_trace(trace_dir)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data["traceEvents"]
-
-    # device track pids: metadata events name them "/device:TPU:0" etc.
     device_pids = set()
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
@@ -82,22 +84,52 @@ def main():
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         name = e.get("name", "")
+        if name.startswith("jit_"):  # parent program span — duplicates children
+            continue
         dur = e.get("dur", 0) / 1e3  # us → ms
-        # strip the .NN instance suffix so identical ops aggregate
-        base = re.sub(r"[.\-]\d+$", "", name)
+        base = re.sub(r"[.\-]\d+$", "", name)  # aggregate .NN instances
         per_op[base] += dur
-        per_class[classify(name)] += dur
+        args = e.get("args", {}) or {}
+        per_class[args.get("hlo_category") or classify(name)] += dur
+    return per_class, per_op, path
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=1)
+    ap.add_argument("--diff", default=None,
+                    help="second trace dir: print per-category deltas "
+                         "(after - before) instead of a single report")
+    args = ap.parse_args()
+    n = max(args.steps, 1)
+
+    per_class, per_op, path = load(args.trace_dir)
     total = sum(per_class.values())
+
+    if args.diff:
+        cls2, _, path2 = load(args.diff)
+        tot2 = sum(cls2.values())
+        print(f"before: {path}\nafter:  {path2}")
+        print(f"{'category':30s} {'before':>9s} {'after':>9s} {'delta':>9s}")
+        for cls in sorted(set(per_class) | set(cls2),
+                          key=lambda c: -per_class.get(c, 0)):
+            b, a = per_class.get(cls, 0) / n, cls2.get(cls, 0) / n
+            print(f"{cls:30s} {b:8.2f} {a:9.2f} {a - b:+9.2f}  ms/step")
+        print(f"{'TOTAL':30s} {total/n:8.2f} {tot2/n:9.2f} "
+              f"{(tot2-total)/n:+9.2f}  ms/step")
+        return
+
     print(f"trace: {path}")
     print(f"total device time: {total:.2f} ms "
-          f"({total / max(args.steps, 1):.2f} ms/step over {args.steps} steps)\n")
+          f"({total / n:.2f} ms/step over {n} steps)\n")
     print("== by class ==")
     for cls, ms in per_class.most_common():
-        print(f"{cls:28s} {ms / args.steps:9.3f} ms  {100 * ms / total:5.1f}%")
+        print(f"{cls:28s} {ms / n:9.3f} ms  {100 * ms / total:5.1f}%")
     print(f"\n== top {args.top} ops ==")
     for op, ms in per_op.most_common(args.top):
-        print(f"{ms / args.steps:9.3f} ms  {op[:100]}")
+        print(f"{ms / n:9.3f} ms  {op[:100]}")
 
 
 if __name__ == "__main__":

@@ -385,11 +385,26 @@ def _planar_via_xla(planes, u, v):
     return out.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
 
 
+def _batched_pallas(fn, *args):
+    """Batch a per-image Pallas computation. B == 1 keeps the exact vmap
+    HLO of the single-stream production programs (compile-cache-stable);
+    B >= 2 unrolls a Python loop of per-image calls instead — vmapping the
+    pallas_call adds a batch grid dimension whose constant-index-map
+    single-buffered plane spec crashes the Mosaic compiler (the 'B=2 720p
+    HTTP 500' compile-helper failure isolated by benchmarks/
+    batch720_probe.py: every B=2 variant with the kernel dies, the
+    XLA-warp variant compiles)."""
+    B = args[0].shape[0]
+    if B == 1:
+        return jax.vmap(fn)(*args)
+    return jnp.stack([fn(*(a[i] for a in args)) for i in range(B)])
+
+
 @jax.custom_vjp
 def _mf_unguarded_planar(planes, u, v):
     B, C, H, W = planes.shape
-    return jax.vmap(lambda p, uu, vv: _warp_planes_core(p, uu, vv, H, W))(
-        planes, u, v
+    return _batched_pallas(
+        lambda p, uu, vv: _warp_planes_core(p, uu, vv, H, W), planes, u, v
     )
 
 
@@ -447,7 +462,7 @@ def _mf_guarded(img: jnp.ndarray, flows: jnp.ndarray, band_f: jnp.ndarray):
     _guarded_core)."""
     return jax.lax.cond(
         band_f > 0.5,
-        lambda i, f: jax.vmap(_warp_image_multiflow)(i, f),
+        lambda i, f: _batched_pallas(_warp_image_multiflow, i, f),
         _mf_tiled_xla,
         img,
         flows,
@@ -469,7 +484,7 @@ _mf_guarded.defvjp(_mf_fwd, _mf_bwd)
 
 @jax.custom_vjp
 def _mf_unguarded(img: jnp.ndarray, flows: jnp.ndarray):
-    return jax.vmap(_warp_image_multiflow)(img, flows)
+    return _batched_pallas(_warp_image_multiflow, img, flows)
 
 
 def _mfu_fwd(img, flows):
