@@ -352,16 +352,29 @@ def main():
         (bench_train, (result,), 300),
         (bench_ssmr_stream, (result,), 600),
     ]
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("secondary exceeded its wall-clock allowance")
+
+    signal.signal(signal.SIGALRM, _alarm)
     for fn, args, worst_case_s in secondaries:
         if remaining_s() < worst_case_s:
             result.setdefault("skipped", []).append(fn.__name__)
             emit(result)
             continue
+        # Hard per-secondary wall limit: a cold compile retrying against a
+        # dead remote-compile helper otherwise backs off forever and hangs
+        # the whole bench (observed 2026-08-17: helper outage mid-352² remat
+        # compile left the process sleeping in retry for 20+ min).
         try:
+            signal.alarm(int(min(max(remaining_s(), 60), 6 * worst_case_s)))
             fn(*args)
         except Exception:
             traceback.print_exc(file=sys.stderr)
             result.setdefault("failed", []).append(fn.__name__)
+        finally:
+            signal.alarm(0)
         emit(result)
 
 
