@@ -349,8 +349,11 @@ def main():
     secondaries = [
         (bench_batched_720p, (result, H, W, n_t, compute_dtype), 300),
         (bench_1080p, (result, compute_dtype, n_t), 240),
-        (bench_train, (result,), 300),
+        # train runs LAST: its 352² remat compile is the one program observed
+        # to take the remote-compile helper down with it (2026-08-17) — a
+        # crash there must not cost the ssmr measurement.
         (bench_ssmr_stream, (result,), 600),
+        (bench_train, (result,), 300),
     ]
     import signal
 
