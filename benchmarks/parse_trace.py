@@ -66,7 +66,12 @@ def classify(name: str) -> str:
 
 
 def load(trace_dir: str):
-    """→ (per_class Counter, per_op Counter, trace_path)."""
+    """→ (per_class Counter, per_op Counter, per_instance dict, trace_path).
+
+    per_instance maps each distinct HLO instruction name to
+    ``[total_ms, count, bytes_accessed, category]`` — the per-instance view
+    is what localizes a category total (e.g. 40 ms of "data formatting") to
+    the two or three actual relayout instructions worth attacking."""
     path = find_trace(trace_dir)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
@@ -80,6 +85,7 @@ def load(trace_dir: str):
 
     per_op = collections.Counter()
     per_class = collections.Counter()
+    per_instance: dict = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
@@ -90,8 +96,16 @@ def load(trace_dir: str):
         base = re.sub(r"[.\-]\d+$", "", name)  # aggregate .NN instances
         per_op[base] += dur
         args = e.get("args", {}) or {}
-        per_class[args.get("hlo_category") or classify(name)] += dur
-    return per_class, per_op, path
+        cat = args.get("hlo_category") or classify(name)
+        per_class[cat] += dur
+        inst = per_instance.setdefault(name, [0.0, 0, 0, cat])
+        inst[0] += dur
+        inst[1] += 1
+        try:
+            inst[2] = max(inst[2], int(args.get("bytes_accessed", 0)))
+        except (TypeError, ValueError):
+            pass
+    return per_class, per_op, per_instance, path
 
 
 def main():
@@ -102,14 +116,36 @@ def main():
     ap.add_argument("--diff", default=None,
                     help="second trace dir: print per-category deltas "
                          "(after - before) instead of a single report")
+    ap.add_argument("--instances", default=None, metavar="CATEGORY",
+                    help="list the top individual HLO instructions of one "
+                         "hlo_category (e.g. 'data formatting', 'loop "
+                         "fusion', or 'all') with bytes_accessed and "
+                         "achieved GB/s")
     args = ap.parse_args()
     n = max(args.steps, 1)
 
-    per_class, per_op, path = load(args.trace_dir)
+    per_class, per_op, per_instance, path = load(args.trace_dir)
     total = sum(per_class.values())
 
+    if args.instances:
+        want = args.instances.lower()
+        rows = [
+            (ms, cnt, nbytes, cat, name)
+            for name, (ms, cnt, nbytes, cat) in per_instance.items()
+            if want == "all" or cat.lower() == want
+        ]
+        rows.sort(reverse=True)
+        print(f"trace: {path}")
+        print(f"top {args.top} instances of category {args.instances!r} "
+              f"(ms/step over {n} steps):")
+        for ms, cnt, nbytes, cat, name in rows[: args.top]:
+            gbs = (nbytes * cnt / n) / (ms / n * 1e6) if ms else 0.0
+            print(f"{ms / n:9.3f} ms  x{cnt // n:<3d} {nbytes / 1e6:8.1f} MB "
+                  f"{gbs:7.0f} GB/s  [{cat}]  {name[:80]}")
+        return
+
     if args.diff:
-        cls2, _, path2 = load(args.diff)
+        cls2, _, _, path2 = load(args.diff)
         tot2 = sum(cls2.values())
         print(f"before: {path}\nafter:  {path2}")
         print(f"{'category':30s} {'before':>9s} {'after':>9s} {'delta':>9s}")

@@ -72,6 +72,18 @@ _DEFAULTS = {
     # trades ~30% step time for ~2x activation memory — enables batch>=8
     # training at 352² per chip.
     ("TPU", "REMAT"): "FALSE",
+    # Layout-friendly decoder/epilogue (round-3 profiling: XLA propagated
+    # the planar epilogue's exotic layout preferences INTO the adjacent
+    # full-res convs, running them at 8-66% efficiency, and lowered the
+    # decoder skip concats + stage-2 input assembly as multi-pass relayout
+    # copies — together ~20 ms of a 166 ms 720p step). LAYOUT_V2 splits
+    # every decoder conv over its concat operands (conv is linear in input
+    # channels — exact), assembles the fused multi-t stage-2 input in
+    # grouped (c, r, s) channel order consumed via a free weight
+    # permutation, and fences the U-Net heads from the epilogue's layout
+    # preferences. Numerically exact in f32; in bf16 the split-conv sums
+    # round once more (same magnitude as the existing bf16 quantization).
+    ("TPU", "LAYOUT_V2"): "FALSE",
 }
 
 VALID_BOTTLENECKS = ("CONV", "CLSTM", "CGRU")
@@ -149,6 +161,7 @@ class Config:
             clstm_merge=self.get("TPU", "CLSTM_MERGE").upper(),
             clstm_gate_order=self.get("TPU", "CLSTM_GATE_ORDER").upper(),
             remat=self.getboolean("TPU", "REMAT"),
+            layout_v2=self.getboolean("TPU", "LAYOUT_V2"),
         )
 
     def validate(self) -> None:
@@ -187,6 +200,7 @@ class ModelSpec:
     clstm_merge: str = "CONCAT"  # CONCAT | SUM (models/bottleneck.py)
     clstm_gate_order: str = "IFOG"
     remat: bool = False  # jax.checkpoint each U-Net stage (training memory)
+    layout_v2: bool = False  # split-conv decoder + layout-fenced epilogue
 
 
 def load_config(path: str) -> Config:

@@ -34,6 +34,14 @@ from superslomo_tpu.models import physics
 from superslomo_tpu.models.unet import UNet
 
 
+def _head_fence() -> bool:
+    """Trace-time A/B knob for the LAYOUT_V2 head fence (default ON).
+    ``SSMTPU_NO_HEAD_FENCE=1`` disables it for controlled profiling."""
+    import os
+
+    return os.environ.get("SSMTPU_NO_HEAD_FENCE", "0") != "1"
+
+
 def make_pairs(frames: jnp.ndarray) -> jnp.ndarray:
     """(B, T, H, W, 3) frames → (B, T-1, H, W, 6) adjacent-pair windows
     (reference get_image_pairs, superslomo_r.py:90-106)."""
@@ -100,6 +108,7 @@ class SuperSloMo(nn.Module):
             bottleneck=self.spec.stage1_bottleneck,
             emit_encoding=self.spec.cross_skip,
             dtype=dtype,
+            layout_v2=self.spec.layout_v2,
             name="stage1",
             **clstm,
         )
@@ -108,6 +117,7 @@ class SuperSloMo(nn.Module):
             bottleneck=self.spec.stage2_bottleneck,
             accept_encoding=self.spec.cross_skip,
             dtype=dtype,
+            layout_v2=self.spec.layout_v2,
             name="stage2",
             **clstm,
         )
@@ -366,6 +376,13 @@ class SuperSloMo(nn.Module):
 
         carry1 = rnn_carry.get("stage1") if rnn_carry else None
         head1_s2d, encoding, _ = self.stage1(pairs, None, carry1, True, False)
+        if self.spec.layout_v2 and _head_fence():
+            # Layout fence: round-3 profiling showed the head-extraction
+            # transposes' layout preferences propagating INTO the full-res
+            # tail convs (conv11b/fuse/final ran at 8-17% efficiency with
+            # T(2,128) tilings at batch 1). The barrier keeps the convs on
+            # their natural layouts; the transpose pays its own cost once.
+            head1_s2d = jax.lax.optimization_barrier(head1_s2d)
         # (B, W_n, H/2, W/2, 16) compute dtype; same elements as the d2s'd
         # stage-1 flow, so the bound matches the channel-minor path's
         boundC = jnp.max(jnp.abs(head1_s2d)).astype(f32)
@@ -392,10 +409,10 @@ class SuperSloMo(nn.Module):
         w1t = warp_multiflow_planar(pl1.astype(cdt), u_t1, v_t1)  # (BW,3,n_t,H,W) f32
         w0t = warp_multiflow_planar(pl0.astype(cdt), u_t0, v_t0)
 
-        # Stage-2 input assembled DIRECTLY in S2D (r, s, c) layout: ONE
-        # channel-planar concat then ONE reshape+transpose (both near-BW
-        # copies). Channel order [img1(3), w1t(3), est_t1(u,v), est_t0(u,v),
-        # w0t(3), img0(3)] matches physics.compute_stage2_inputs.
+        # Stage-2 input assembled DIRECTLY in S2D layout: ONE channel-planar
+        # concat then ONE reshape+transpose. Channel order [img1(3), w1t(3),
+        # est_t1(u,v), est_t0(u,v), w0t(3), img0(3)] matches
+        # physics.compute_stage2_inputs.
         bc = lambda x: jnp.broadcast_to(
             x[:, :, None], x.shape[:2] + (n_t,) + x.shape[2:]
         )  # (BW, c, H, W) → (BW, c, n_t, H, W)
@@ -411,14 +428,29 @@ class SuperSloMo(nn.Module):
             axis=1,
         )  # (BW, 16, n_t, H, W) compute dtype
         Hh, Wh = H // 2, W_ // 2
-        # (B, W_n, 16, n_t, Hh, r, Wh, s) → (B, n_t, W_n, Hh, Wh, r, s, 16):
-        # one transpose producing the (r, s, c) channel-minor S2D tensor in
-        # the stage-2 fold order (t-grid into batch, sample-major)
-        flowI_s2d = (
-            P.reshape(B, W_n, 16, n_t, Hh, 2, Wh, 2)
-            .transpose(0, 3, 1, 4, 6, 5, 7, 2)
-            .reshape(B * n_t, W_n, Hh, Wh, 64)
-        )
+        if self.spec.layout_v2:
+            # grouped (c, r, s) channel order: the minor dims of the
+            # transpose target (c, r, s) end with the SOURCE's minor dim
+            # (column phase s), so XLA lowers it as one locality-preserving
+            # copy — profiled vs the (r, s, c) target below, which needed a
+            # channel-to-minor relayout PLUS a phase-interleave pass
+            # (~7 ms/step at 720p). conv1a consumes this order via its
+            # in_perm weight permutation (models/unet.py).
+            flowI_s2d = (
+                P.reshape(B, W_n, 16, n_t, Hh, 2, Wh, 2)
+                .transpose(0, 3, 1, 4, 6, 2, 5, 7)
+                .reshape(B * n_t, W_n, Hh, Wh, 64)
+            )
+        else:
+            # (B, W_n, 16, n_t, Hh, r, Wh, s) → (B, n_t, W_n, Hh, Wh, r, s,
+            # 16): one transpose producing the (r, s, c) channel-minor S2D
+            # tensor in the stage-2 fold order (t-grid into batch,
+            # sample-major)
+            flowI_s2d = (
+                P.reshape(B, W_n, 16, n_t, Hh, 2, Wh, 2)
+                .transpose(0, 3, 1, 4, 6, 5, 7, 2)
+                .reshape(B * n_t, W_n, Hh, Wh, 64)
+            )
 
         def tile(x):
             return jnp.broadcast_to(
@@ -431,6 +463,8 @@ class SuperSloMo(nn.Module):
             carry2 = jax.tree.map(tile, carry2)
 
         head2_s2d, _, _ = self.stage2(flowI_s2d, enc_t, carry2, True, True)
+        if self.spec.layout_v2 and _head_fence():
+            head2_s2d = jax.lax.optimization_barrier(head2_s2d)
         # (B*n_t, W_n, Hh, Wh, 20); bound over the dflow channels (c in
         # 1..4 per phase) — the same element set as full-res [..., 1:5]
         dmax = jnp.max(

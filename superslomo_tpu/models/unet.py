@@ -86,6 +86,12 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     clstm_merge: str = "concat"  # concat | sum (models/bottleneck.py)
     clstm_gate_order: str = "ifog"
+    # LAYOUT_V2 (config [TPU]): decoder skip-concats become split convs
+    # (exact — conv/upconv are linear in input channels), and an s2d input
+    # arrives in grouped (c, r, s) channel order consumed via conv1a's
+    # in_perm weight permutation. See ops/s2d.py S2DConv / ops/upconv.py
+    # upsample_conv_pair for the profiling rationale.
+    layout_v2: bool = False
 
     @nn.compact
     def __call__(
@@ -123,7 +129,18 @@ class UNet(nn.Module):
             h = x.reshape(B * T, H // 2, W // 2, x.shape[-1])
         else:
             h = space_to_depth(x.reshape(B * T, H, W, C))
-        h = sblk("conv1a", 32, 7)(h)
+        if input_is_s2d and self.layout_v2:
+            # the multi-t assembler emits grouped (c, r, s) channel order
+            # (one locality-preserving transpose instead of a multi-pass
+            # relayout); conv1a consumes it via the free weight permutation
+            # semantic_index = phase(j) * Cin + channel(j), j = c*4 + 2r+s
+            c_in = x.shape[-1] // 4
+            perm = tuple((j % 4) * c_in + j // 4 for j in range(4 * c_in))
+            h = S2DConvLReLU(
+                32, 7, dtype=self.dtype, in_perm=perm, name="conv1a"
+            )(h)
+        else:
+            h = sblk("conv1a", 32, 7)(h)
         skip1_s2d = sblk("conv1b", 32, 7)(h)  # S2D of the full-res conv1b out
 
         # pool2 == mean of the 4 phases of conv1b's S2D form
@@ -174,31 +191,37 @@ class UNet(nn.Module):
         # Every decoder block's "bilinear 2x upsample + 3x3 conv" runs as
         # the composite half-grid conv (ops/upconv.py): exact, true MAC
         # count, full MXU lanes, and no upsampled intermediate in HBM.
+        # LAYOUT_V2: feed each upconv its concat operands separately (the
+        # composite conv splits over input channels — ops/upconv.py
+        # upsample_conv_pair) instead of materializing the concat.
+        join = (lambda a, b: (a, b)) if self.layout_v2 else (
+            lambda a, b: jnp.concatenate([a, b], axis=-1)
+        )
         if self.accept_encoding:
             if cross_encoding is None:
                 raise ValueError("this stage was built with accept_encoding=True")
             ce = cross_encoding.reshape(B * T, H // 32, W // 32, 512).astype(h.dtype)
-            h = jnp.concatenate([h, ce], axis=-1)  # 1024ch, as conv7a expects
+            h = join(h, ce)  # 1024ch, as conv7a expects
         h = depth_to_space(upblk("conv7a", 512)(h))  # (H/16, 512)
         h = blk("conv7b", 512, 3)(h)
 
         for (na, nb, feats), skip in zip(_DECODER_BLOCKS_MID, reversed(skips[1:])):
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = depth_to_space(upblk(na, feats)(h))
+            h = depth_to_space(upblk(na, feats)(join(h, skip)))
             h = blk(nb, feats, 3)(h)
 
         # ---- decoder block 10: stay in s2d form through conv10b ------------
-        h = jnp.concatenate([h, skips[0]], axis=-1)  # conv9b + conv3b @ 1/4
-        h = upblk("conv10a", 64)(h)  # s2d @ H/4 grid (phases of H/2)
+        h = upblk("conv10a", 64)(join(h, skips[0]))  # conv9b + conv3b @ 1/4
         h = sblk("conv10b", 64, 3)(h)
         h = depth_to_space(h)  # (H/2, 64)
 
         # ---- decoder block 11 + fuse + head (full res, polyphase S2D) ------
-        h = jnp.concatenate([h, depth_to_space(skip2_s2d)], axis=-1)  # + conv2b
-        h = upblk("conv11a", 32)(h)  # s2d @ H/2 grid (phases of full res)
+        h = upblk("conv11a", 32)(join(h, depth_to_space(skip2_s2d)))  # + conv2b
         h = sblk("conv11b", 32, 3)(h)
-        h = s2d_concat(h, skip1_s2d)
-        h = sblk("fuse_conv", 32, 3)(h)
+        if self.layout_v2:
+            h = sblk("fuse_conv", 32, 3)(h, skip1_s2d)
+        else:
+            h = s2d_concat(h, skip1_s2d)
+            h = sblk("fuse_conv", 32, 3)(h)
         out = _S2DHead(self.out_channels, dtype=self.dtype, name="final_conv")(h)
         if s2d_head:
             return (

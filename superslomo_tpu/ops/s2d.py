@@ -158,19 +158,47 @@ class S2DConv(nn.Module):
     (K', K', 4Cin, 4Cout) kernel is consumed directly. The remap is a pure
     scatter (no arithmetic), so remap(cast(w)) == cast(remap(w)) and both
     paths are bit-identical. Training (gradients to the original params)
-    keeps the in-trace remap."""
+    keeps the in-trace remap.
+
+    LAYOUT_V2 extensions (both exact; both leave param/prepared shapes and
+    the single-input trace untouched):
+
+    * ``x2_s2d``: second operand — computes conv(s2d_concat(x, x2)) WITHOUT
+      materializing the phase-interleaved concat (profiled as a multi-pass
+      relayout copy chain at 720p): conv is linear in input channels, so
+      the kernel splits into the two operands' channel blocks and the
+      outputs sum (the add fuses into the second conv's epilogue).
+    * ``in_perm``: static input-channel permutation — the caller assembled
+      the S2D tensor in a different (layout-friendlier) channel order, and
+      the kernel's input axis is permuted to match. A conv's input channel
+      order is arbitrary modulo this (tiny, hoistable) weight gather.
+    """
 
     features: int
     kernel: int
     dtype: Any = jnp.float32
+    in_perm: tuple | None = None  # assembled channel j ← semantic in_perm[j]
 
     @nn.compact
-    def __call__(self, x_s2d):
+    def __call__(self, x_s2d, x2_s2d=None):
         cin = x_s2d.shape[-1] // 4
+        ca = cin
+        if x2_s2d is not None:
+            if self.in_perm is not None:
+                raise ValueError("in_perm and a second operand are exclusive")
+            cin += x2_s2d.shape[-1] // 4
+        Wp_b = None
         if not self.is_initializing() and self.has_variable("prepared", "kernel"):
             Wp = self.get_variable("prepared", "kernel").astype(self.dtype)
             bias4 = self.get_variable("prepared", "bias").astype(self.dtype)
             _, _, pad = _remap_plan(self.kernel)
+            if x2_s2d is not None:
+                # prepared kernel input axis is (r, s, [c_a ++ c_b]); slice
+                # each operand's channels out of every phase block
+                idx_a = [p * cin + c for p in range(4) for c in range(ca)]
+                idx_b = [p * cin + c for p in range(4) for c in range(ca, cin)]
+                Wp_b = jnp.take(Wp, jnp.asarray(idx_b), axis=2)
+                Wp = jnp.take(Wp, jnp.asarray(idx_a), axis=2)
         else:
             kernel = self.param(
                 "kernel",
@@ -181,8 +209,14 @@ class S2DConv(nn.Module):
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
-            Wp, pad = remap_kernel(kernel.astype(self.dtype))
+            if x2_s2d is not None:
+                Wp, pad = remap_kernel(kernel[:, :, :ca].astype(self.dtype))
+                Wp_b, _ = remap_kernel(kernel[:, :, ca:].astype(self.dtype))
+            else:
+                Wp, pad = remap_kernel(kernel.astype(self.dtype))
             bias4 = jnp.tile(bias.astype(self.dtype), 4)
+        if self.in_perm is not None:
+            Wp = jnp.take(Wp, jnp.asarray(self.in_perm), axis=2)
         Y = jax.lax.conv_general_dilated(
             x_s2d.astype(self.dtype),
             Wp,
@@ -191,6 +225,15 @@ class S2DConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype,
         )
+        if x2_s2d is not None:
+            Y = Y + jax.lax.conv_general_dilated(
+                x2_s2d.astype(self.dtype),
+                Wp_b,
+                window_strides=(1, 1),
+                padding=(pad, pad),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype,
+            )
         return Y + bias4
 
 
@@ -201,8 +244,12 @@ class S2DConvLReLU(nn.Module):
     features: int
     kernel: int = 3
     dtype: Any = jnp.float32
+    in_perm: tuple | None = None
 
     @nn.compact
-    def __call__(self, x_s2d):
-        y = S2DConv(self.features, self.kernel, dtype=self.dtype, name="conv")(x_s2d)
+    def __call__(self, x_s2d, x2_s2d=None):
+        y = S2DConv(
+            self.features, self.kernel, dtype=self.dtype,
+            in_perm=self.in_perm, name="conv",
+        )(x_s2d, x2_s2d)
         return nn.leaky_relu(y, negative_slope=0.1)

@@ -237,6 +237,81 @@ def upsample_conv(
     return y5.reshape(B, Hh, Wh, 4 * Co)
 
 
+def upsample_conv_pair(z1, z2, w, dtype=None, wc=None):
+    """``upsample_conv(concat([z1, z2], -1), w)`` without materializing the
+    concatenation (LAYOUT_V2): every decoder block's input is a channel
+    concat of the upsampled trunk and a skip tensor, and profiling showed
+    XLA lowering that concat as a multi-pass relayout copy chain between
+    the two producers' layouts and the conv's preferred layout (~1.4-2.8 ms
+    per block at 720p). Upsample+conv is linear in input channels, so the
+    interior conv splits into the operands' channel blocks (outputs sum —
+    the add fuses into the second conv's epilogue) and every border /
+    interior-recompute strip is built from thin 2-row/2-col slices of the
+    operands concatenated at negligible cost. Same algebra as
+    ``upsample_conv`` on the concatenated tensor; in bf16 the split sum
+    rounds once more (the conv output was already bf16-quantized)."""
+    B, Hh, Wh, c1 = z1.shape
+    Co = w.shape[-1]
+    if wc is None:
+        wc = fold_upsample_kernel(w)
+    if dtype is not None:
+        z1, z2 = z1.astype(dtype), z2.astype(dtype)
+        w, wc = w.astype(dtype), wc.astype(dtype)
+    if Hh == 1 or Wh == 1:  # degenerate 2-px shapes (tests only)
+        return upsample_conv(jnp.concatenate([z1, z2], axis=-1), w, None, wc)
+
+    y = _conv(z1, wc[:, :, :c1], "SAME") + _conv(z2, wc[:, :, c1:], "SAME")
+    y5 = y.reshape(B, Hh, Wh, 2, 2, Co)
+
+    cat = lambda a, b: jnp.concatenate([a, b], axis=-1)
+    zt = cat(z1[:, 0:2], z2[:, 0:2])  # rows {0, 1} of the virtual concat
+    zb = cat(z1[:, Hh - 2 :], z2[:, Hh - 2 :])
+    zl = cat(z1[:, :, 0:2], z2[:, :, 0:2])
+    zr = cat(z1[:, :, Wh - 2 :], z2[:, :, Wh - 2 :])
+
+    # _border_rows/_border_cols only read the two boundary rows/cols they
+    # are given; on a 2-row slice their internal indices (0, r1=1) address
+    # exactly the rows the full tensor would have contributed.
+    top = _border_rows(zt, w, True)
+    bot = _border_rows(zb, w, False)
+    as_row = lambda r: r.reshape(B, 2, Wh, 2, Co).transpose(0, 2, 1, 3, 4)
+    top, bot = as_row(top), as_row(bot)
+    left = _border_cols(zl, w, True)
+    right = _border_cols(zr, w, False)
+    as_col = lambda c: c.reshape(B, Hh, 2, 2, Co)
+    left, right = as_col(left), as_col(right)
+
+    def interior_rows(lo: bool):
+        y2 = _conv(zt if lo else zb, wc, "SAME")
+        y2 = y2[:, 0:1] if lo else y2[:, 1:2]
+        return y2.reshape(B, Wh, 2, 2, Co)
+
+    def interior_cols(lo: bool):
+        y2 = _conv(zl if lo else zr, wc, "SAME")
+        y2 = y2[:, :, 0:1] if lo else y2[:, :, 1:2]
+        return y2.reshape(B, Hh, 2, 2, Co)
+
+    corr_top = (top - interior_rows(True))[:, None]
+    corr_bot = (bot - interior_rows(False))[:, None]
+    col0 = (
+        interior_cols(True).at[:, 0].set(top[:, 0]).at[:, Hh - 1].set(bot[:, 0])
+    )
+    colL = (
+        interior_cols(False)
+        .at[:, 0].set(top[:, Wh - 1])
+        .at[:, Hh - 1].set(bot[:, Wh - 1])
+    )
+    corr_left = (left - col0)[:, :, None]
+    corr_right = (right - colL)[:, :, None]
+
+    z4 = ((0, 0),) * 4
+    y5 = y5 + jnp.pad(corr_top, ((0, 0), (0, Hh - 1)) + z4)
+    y5 = y5 + jnp.pad(corr_bot, ((0, 0), (Hh - 1, 0)) + z4)
+    y5 = y5 + jnp.pad(corr_left, ((0, 0), (0, 0), (0, Wh - 1)) + z4[:3])
+    y5 = y5 + jnp.pad(corr_right, ((0, 0), (0, 0), (Wh - 1, 0)) + z4[:3])
+    return y5.reshape(B, Hh, Wh, 4 * Co)
+
+
 class UpConvLReLU(nn.Module):
     """upsample_2x_bilinear → 3x3 same conv (+bias) → LeakyReLU(0.1), as the
     composite half-grid conv; output in s2d form. Param names/shapes match
@@ -253,7 +328,8 @@ class UpConvLReLU(nn.Module):
 
     @nn.compact
     def __call__(self, z):
-        cin = z.shape[-1]
+        pair = isinstance(z, (tuple, list))
+        cin = z[0].shape[-1] + z[1].shape[-1] if pair else z.shape[-1]
         # params live under a 'conv' child scope mirroring nn.Conv's names
         w, b = _UpConvParams(self.features, name="conv")(cin)
         wc = None
@@ -261,7 +337,10 @@ class UpConvLReLU(nn.Module):
             "prepared", "kernel_folded"
         ):
             wc = self.get_variable("prepared", "kernel_folded")
-        y = upsample_conv(z, w, dtype=self.dtype, wc=wc)
+        if pair:
+            y = upsample_conv_pair(z[0], z[1], w, dtype=self.dtype, wc=wc)
+        else:
+            y = upsample_conv(z, w, dtype=self.dtype, wc=wc)
         y = y + jnp.tile(b.astype(self.dtype), 4)
         return nn.leaky_relu(y, negative_slope=0.1)
 

@@ -1,0 +1,60 @@
+"""The bench's stale-fallback emission contract: when the axon device path
+is unreachable (observed 2026-08-17: device init hangs forever), bench.py
+must still print ONE parseable JSON line — the newest fully-measured record,
+clearly flagged ``stale_fallback`` — so a dead helper can never erase the
+round's evidence again (it cost round 2 its bench record)."""
+
+import importlib.util
+import io
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_last_good_record_is_valid_and_flagged():
+    """The committed fallback record parses, is flagged stale, and carries
+    per-number provenance — the driver must never mistake it for a live
+    measurement."""
+    path = os.path.join(REPO, "benchmarks", "records", "last_good_bench.json")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["stale_fallback"] is True
+    assert rec["metric"] == "720p_interp_frames_per_sec_8x"
+    assert isinstance(rec["value"], (int, float)) and rec["value"] > 0
+    assert rec["unit"] == "frames/sec/chip"
+    assert rec["fallback_sources"], "provenance required"
+
+
+def test_emit_stale_fallback_prints_one_json_line(capsys):
+    bench = _load_bench()
+    bench._emit_stale_fallback("device init failed: TimeoutError: test")
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["stale_fallback"] is True
+    assert "device init failed" in rec["fallback_reason"]
+    assert rec["value"] is None or rec["value"] > 0
+
+
+def test_emit_stale_fallback_survives_missing_record(tmp_path, capsys, monkeypatch):
+    """Even with no record file at all, a flagged null line is emitted —
+    the driver sees parseable JSON, not an empty bench."""
+    bench = _load_bench()
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    bench._emit_stale_fallback("no record")
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["stale_fallback"] is True
+    assert rec["value"] is None

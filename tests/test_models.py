@@ -217,9 +217,13 @@ def test_converted_shape_mismatch_is_loud(rng):
         check_converted_shapes(loaded, template, "stage1")
 
 
-def test_multi_t_with_bounds_matches(rng):
+@pytest.mark.parametrize("batch", [1, 3])
+def test_multi_t_with_bounds_matches(rng, batch):
     """The unguarded checked fast path returns the same predictions plus a
-    finite flow bound that really bounds every warp's flow."""
+    finite flow bound that really bounds every warp's flow — at batch 1 AND
+    batch >1 (the driver bench's headline runs the planar path at B=4; a
+    fold-order bug in the batched planar assembly would silently corrupt
+    every sample but the first)."""
     import jax
     import jax.numpy as jnp
 
@@ -227,9 +231,9 @@ def test_multi_t_with_bounds_matches(rng):
     from superslomo_tpu.models.superslomo import SuperSloMo
 
     model = SuperSloMo(spec=ModelSpec(n_frames=2))
-    frames = jnp.asarray(rng.standard_normal((1, 2, 32, 32, 3)), jnp.float32)
+    frames = jnp.asarray(rng.standard_normal((batch, 2, 32, 32, 3)), jnp.float32)
     t_values = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), frames, jnp.full((1, 1), 0.5))
+    params = model.init(jax.random.PRNGKey(0), frames, jnp.full((batch, 1), 0.5))
 
     plain = model.apply(params, frames, t_values,
                         method=SuperSloMo.interpolate_multi_t)
