@@ -244,6 +244,49 @@ def test_multi_t_with_bounds_matches(rng, batch):
     assert np.isfinite(float(bound)) and float(bound) >= 0
 
 
+def test_multi_t_with_streamed_carry_matches_per_t(rng):
+    """interpolate_multi_t with a streamed-in recurrent carry (batch B,
+    broadcast over the folded t-grid) == per-t forwards threading the SAME
+    carry — the ADVICE round-2 fix: before it, passing rnn_carry into the
+    fused path shape-errored on the B·n_t stage-2 fold."""
+    import jax
+    import jax.numpy as jnp
+
+    from superslomo_tpu.config import ModelSpec
+    from superslomo_tpu.models.superslomo import SuperSloMo
+
+    m = SuperSloMo(spec=ModelSpec(
+        n_frames=4, stage1_bottleneck="CLSTM", stage2_bottleneck="CLSTM"
+    ))
+    clip = jnp.asarray(rng.standard_normal((1, 7, 32, 32, 3)), jnp.float32)
+    t_stream = jnp.full((1, 3), 0.5, jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), clip[:, 0:4], t_stream)
+
+    # stream window 0 to produce a real carry, then render the t-grid on
+    # window 1 with that state
+    out0 = m.apply(params, clip[:, 0:4], t_stream)
+    carry = out0.rnn_carry
+    assert carry is not None
+    window1 = clip[:, 3:7]
+    t_values = jnp.asarray([0.25, 0.75], jnp.float32)
+
+    fused = m.apply(params, window1, t_values, rnn_carry=carry,
+                    method=SuperSloMo.interpolate_multi_t)
+    assert fused.shape == (1, 2, 32, 32, 3)
+    # the unguarded planar fast path must accept the carry too
+    pred_fast, bound = m.apply(params, window1, t_values, rnn_carry=carry,
+                               with_bounds=True,
+                               method=SuperSloMo.interpolate_multi_t)
+    np.testing.assert_allclose(np.asarray(pred_fast), np.asarray(fused),
+                               atol=1e-5, rtol=1e-5)
+    assert np.isfinite(float(bound))
+    for k, tv in enumerate(np.asarray(t_values)):
+        out = m.apply(params, window1, jnp.full((1, 3), tv), rnn_carry=carry)
+        mid = out.pred_images.shape[1] // 2
+        diff = np.abs(np.asarray(fused[:, k]) - np.asarray(out.pred_images[:, mid]))
+        assert np.mean(diff) < 2e-3, f"t={tv}: mean diff {np.mean(diff)}"
+
+
 def test_multi_t_matches_per_t_forwards_ssmr(rng):
     """Fused t-grid == per-t forwards for the RECURRENT 4-frame model too:
     covers the (B, W_n, n_t) → (B·n_t, W_n) regrouping and mid-window
