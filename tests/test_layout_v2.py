@@ -103,6 +103,43 @@ def test_planar_multi_t_prepared_equivalence(rng):
     )
 
 
+def test_spatial_sharded_forward_matches_v1(rng):
+    """LAYOUT_V2 under a (2 data x 2 spatial) mesh == v1 under the SAME
+    mesh: the split-conv decoder and head fences must survive SPMD
+    partitioning (certifies flipping the default is safe for multi-chip
+    training).
+
+    Deliberately sharded-vs-sharded, NOT sharded-vs-unsharded: H-sharding
+    changes per-op fp reduction orders, and with random-init weights
+    (operator norms > 1, no normalization layers) that ulp-level noise
+    amplifies diffusely through the 24 conv layers to ~3e-2 on raw outputs
+    for v1 and v2 ALIKE (bisected 2026-08-18: spatially uniform — no
+    shard-boundary structure — identical magnitude for both layouts, warp
+    exact, loss means unaffected; see test_parallel.py's trainer spatial
+    test for the loss-level sharded-vs-unsharded contract)."""
+    from superslomo_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+    mesh = make_mesh(n_data=2, n_spatial=2, devices=jax.devices()[:4])
+    m1, m2 = SuperSloMo(spec=V1), SuperSloMo(spec=V2)
+    B, H, W = 2, 64, 64
+    frames = _frames(rng, b=B, h=H, w=W)
+    t = jnp.full((B, 1), 0.5, jnp.float32)
+    params = m1.init(jax.random.PRNGKey(0), frames, t)
+
+    img_sh = batch_sharding(mesh, spatial_dim=2)
+    frames_sh = jax.device_put(frames, img_sh)
+    t_sh = jax.device_put(t, batch_sharding(mesh))
+    outs = {}
+    for name, m in (("v1", m1), ("v2", m2)):
+        fwd = jax.jit(
+            lambda p, f, tt, m=m: m.apply(p, f, tt).pred_images,
+            in_shardings=(replicated(mesh), img_sh, batch_sharding(mesh)),
+            out_shardings=img_sh,
+        )
+        outs[name] = np.asarray(fwd(params, frames_sh, t_sh))
+    np.testing.assert_allclose(outs["v2"], outs["v1"], atol=2e-5, rtol=0)
+
+
 def test_grad_equivalence_f32(rng):
     """Gradients through the split decoder match v1 (training can run with
     either layout)."""
