@@ -332,6 +332,49 @@ def _emit_stale_fallback(reason: str) -> None:
     print(json.dumps(rec), flush=True)
 
 
+def _helper_endpoint_alive(timeout_s: float = 5.0) -> bool:
+    """TCP preflight of the axon remote-compile helper. When the helper is
+    dead its port refuses instantly, but jax device init then blocks
+    FOREVER inside native code — where Python defers signal handlers, so a
+    SIGALRM bound never fires (verified 2026-08-18 against the dead
+    helper: the alarmed bench produced zero output). Probe the socket
+    BEFORE touching jax."""
+    # key off the tunnel's own config, NOT JAX_PLATFORMS: the axon site
+    # preload ignores JAX_PLATFORMS=cpu, so the env var doesn't tell us
+    # whether device init will dial the helper
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
+        return True  # no remote-compile tunnel in play: nothing to probe
+    import socket
+
+    host, _, port = os.environ.get(
+        "SSMTPU_HELPER_ADDR", "127.0.0.1:8103"
+    ).rpartition(":")
+    try:
+        socket.create_connection((host, int(port)), timeout=timeout_s).close()
+        return True
+    except OSError:
+        return False
+
+
+def _watchdog(seconds: float, reason: str):
+    """Emit the fallback line and hard-exit if the main thread is still
+    stuck after ``seconds``. A THREAD, not SIGALRM: the observed hangs
+    block in GIL-releasing native socket waits, which never return to the
+    interpreter to run a signal handler — but a watchdog thread keeps
+    running. Call ``.set()`` on the returned event to disarm."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            _emit_stale_fallback(reason)
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
     import signal
 
@@ -339,25 +382,34 @@ def main():
         raise TimeoutError("device init / headline wall limit hit")
 
     n_t = 7
-    # Device init hangs indefinitely when the remote-compile helper is
-    # down; bound it hard so the bench always emits SOMETHING.
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))))
+    if not _helper_endpoint_alive():
+        _emit_stale_fallback("device path unreachable: remote-compile "
+                             "helper TCP endpoint is down")
+        return
+    # Belt and braces: the endpoint can accept and the init still hang
+    # (helper dying mid-handshake) — bound it with a watchdog thread.
+    init_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+    ok = _watchdog(init_s, f"device init hung > {init_s:.0f}s")
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception as e:  # includes the TimeoutError from the alarm
-        signal.alarm(0)
+    except Exception as e:
+        ok.set()
         _emit_stale_fallback(f"device init failed: {type(e).__name__}: {e}")
         return
-    signal.alarm(0)
+    ok.set()
     compute_dtype = "bfloat16" if on_tpu else "float32"
 
     # headline: 720p 8x fused multi-t — bounded so a helper death mid-
-    # compile still leaves the fallback line on record
+    # compile still leaves the fallback line on record (SIGALRM as the
+    # in-Python bound — compile retry loops sleep in Python where it DOES
+    # fire — plus a generously longer watchdog thread for native hangs)
     H, W = (736, 1280) if on_tpu else (96, 160)
     try:
         if on_tpu:
-            signal.alarm(int(max(min(remaining_s() - 60, BUDGET_S), 120)))
+            wall = int(max(min(remaining_s() - 60, BUDGET_S), 120))
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(wall)
+            ok = _watchdog(wall + 120, f"headline hung > {wall + 120}s")
         step, params, frames = build_multi_t_step(H, W, n_t, compute_dtype)
         iters = 20 if on_tpu else 3
         mean_ms, p50, p99 = timed_fps(step, params, frames, n_t, iters)
@@ -366,6 +418,8 @@ def main():
         _emit_stale_fallback(f"headline failed: {type(e).__name__}: {e}")
         return
     signal.alarm(0)
+    if on_tpu:
+        ok.set()
     fps = n_t / (mean_ms / 1e3)
     mfu = step_model_tflops(H, W, n_t) / (mean_ms / 1e3) / PEAK_TFLOPS
 

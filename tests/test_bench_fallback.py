@@ -47,6 +47,31 @@ def test_emit_stale_fallback_prints_one_json_line(capsys):
     assert rec["value"] is None or rec["value"] > 0
 
 
+def test_helper_preflight(monkeypatch):
+    """The TCP preflight keys off the tunnel's own env (JAX_PLATFORMS is
+    ignored by the axon preload) and reports a dead endpoint without
+    touching jax — device init against a dead helper blocks in native
+    code where SIGALRM never fires."""
+    bench = _load_bench()
+    monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
+    assert bench._helper_endpoint_alive() is True  # no tunnel: no probe
+    monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
+    monkeypatch.setenv("SSMTPU_HELPER_ADDR", "127.0.0.1:1")  # refused
+    assert bench._helper_endpoint_alive(timeout_s=2.0) is False
+
+
+def test_watchdog_disarms(capsys):
+    """A completed phase must disarm the watchdog (no fallback emission,
+    no hard exit)."""
+    import time
+
+    bench = _load_bench()
+    done = bench._watchdog(0.2, "should never fire")
+    done.set()
+    time.sleep(0.4)
+    assert capsys.readouterr().out == ""
+
+
 def test_emit_stale_fallback_survives_missing_record(tmp_path, capsys, monkeypatch):
     """Even with no record file at all, a flagged null line is emitted —
     the driver sees parseable JSON, not an empty bench."""
