@@ -344,6 +344,8 @@ def _helper_endpoint_alive(timeout_s: float = 5.0) -> bool:
     # whether device init will dial the helper
     if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
         return True  # no remote-compile tunnel in play: nothing to probe
+    if str(getattr(jax.config, "jax_platforms", "") or "").lower().startswith("cpu"):
+        return True  # in-process CPU pin (tests/conftest.py): no dial
     import socket
 
     host, _, port = os.environ.get(

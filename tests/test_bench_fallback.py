@@ -52,12 +52,21 @@ def test_helper_preflight(monkeypatch):
     ignored by the axon preload) and reports a dead endpoint without
     touching jax — device init against a dead helper blocks in native
     code where SIGALRM never fires."""
+    import jax
+
     bench = _load_bench()
     monkeypatch.delenv("PALLAS_AXON_REMOTE_COMPILE", raising=False)
     assert bench._helper_endpoint_alive() is True  # no tunnel: no probe
     monkeypatch.setenv("PALLAS_AXON_REMOTE_COMPILE", "1")
     monkeypatch.setenv("SSMTPU_HELPER_ADDR", "127.0.0.1:1")  # refused
-    assert bench._helper_endpoint_alive(timeout_s=2.0) is False
+    # conftest pins jax to CPU in-process, which (correctly) skips the
+    # probe; unpin for the dead-endpoint assertion, then restore
+    jax.config.update("jax_platforms", None)
+    try:
+        assert bench._helper_endpoint_alive(timeout_s=2.0) is False
+    finally:
+        jax.config.update("jax_platforms", "cpu")
+    assert bench._helper_endpoint_alive() is True  # CPU pin: no dial
 
 
 def test_watchdog_disarms(capsys):
