@@ -232,9 +232,17 @@ def bench_ssmr_stream(result):
         out = model.apply(p, frames, t, rnn_carry=carry)
         return out.pred_images[:, mid_window(out)], out.rnn_carry
 
-    img, carry = step(params, window0, None)  # compile carry=None variant
-    img.block_until_ready()
-    img, carry = step(params, window0, carry)  # compile carry=dict variant
+    # ONE compiled program: carry=None initializes to zeros inside the
+    # cell scan (models/bottleneck.py _scan_cell), so an explicit zeros
+    # carry is bit-identical — and eval_shape gets its structure without
+    # compiling the separate carry=None program variant (halves the SSM-R
+    # cold-compile cost at bench time; one less shot at the compile
+    # helper, which a big program has been observed to take down).
+    carry_shape = jax.eval_shape(
+        lambda p, f: model.apply(p, f, t).rnn_carry, params, window0
+    )
+    carry0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), carry_shape)
+    img, carry = step(params, window0, carry0)  # compile + warmup
     img.block_until_ready()
 
     # Stage the clip's windows device-resident BEFORE timing (the same
@@ -246,7 +254,7 @@ def bench_ssmr_stream(result):
     windows = [jax.device_put(jnp.asarray(clip[:, s:s + N])) for s in starts]
     for w in windows:
         w.block_until_ready()
-    carry = None
+    carry = carry0
     t0 = time.time()
     for frames in windows:
         img, carry = step(params, frames, carry)

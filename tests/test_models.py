@@ -244,6 +244,35 @@ def test_multi_t_with_bounds_matches(rng, batch):
     assert np.isfinite(float(bound)) and float(bound) >= 0
 
 
+def test_none_carry_equals_zeros_carry(rng):
+    """rnn_carry=None initializes the cell scan to zeros, so an explicit
+    zeros carry (built via jax.eval_shape, no compile) is bit-identical —
+    bench.py's SSM-R secondary relies on this to compile ONE program
+    instead of the None- and dict-carry variants."""
+    import jax
+    import jax.numpy as jnp
+
+    from superslomo_tpu.config import ModelSpec
+    from superslomo_tpu.models.superslomo import SuperSloMo
+
+    m = SuperSloMo(spec=ModelSpec(
+        n_frames=4, stage1_bottleneck="CLSTM", stage2_bottleneck="CLSTM"
+    ))
+    frames = jnp.asarray(rng.standard_normal((1, 4, 32, 32, 3)), jnp.float32)
+    t = jnp.full((1, 3), 0.5, jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), frames, t)
+
+    out_none = m.apply(params, frames, t)
+    carry_shape = jax.eval_shape(
+        lambda p, f: m.apply(p, f, t).rnn_carry, params, frames
+    )
+    zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), carry_shape)
+    out_zero = m.apply(params, frames, t, rnn_carry=zeros)
+    np.testing.assert_array_equal(
+        np.asarray(out_zero.pred_images), np.asarray(out_none.pred_images)
+    )
+
+
 def test_multi_t_with_streamed_carry_matches_per_t(rng):
     """interpolate_multi_t with a streamed-in recurrent carry (batch B,
     broadcast over the folded t-grid) == per-t forwards threading the SAME
