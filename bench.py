@@ -130,15 +130,21 @@ def timed_fps(step, params, frames, n_t, iters):
     return mean_ms, float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
 
 
-def bench_batched_720p(result, h, w, n_t, compute_dtype):
+def bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(2, 4)):
     """Batched-throughput refinement of the headline: batch >= 2 became
     compilable once the vmapped multiflow Pallas kernel was replaced by
     per-image calls (ops/warp_pallas._batched_pallas; isolated by
     benchmarks/batch720_probe.py). The reference evaluates at batch 8
     (configs VAL); frames/sec/chip is the protocol metric, so the headline
-    reports the best batch, with B=1's dispatch latency kept as p50/p99."""
+    reports the best batch, with B=1's dispatch latency kept as p50/p99.
+
+    Default batches are the warm-cached ones; never-yet-compiled sweep
+    points run LAST in the bench (bench_cold_sweeps) so a hung cold
+    compile cannot block the already-warm measurements."""
+    # vs_baseline/value is the constant 1/torch_fps, so rescaling from the
+    # CURRENT best keeps it exact even across a later cold-sweep call
     base_fps = result["value"]
-    for B in (2, 4, 8):
+    for B in batches:
         if remaining_s() < 300:
             break
         try:
@@ -170,21 +176,23 @@ def bench_batched_720p(result, h, w, n_t, compute_dtype):
         emit(result)
 
 
-def bench_1080p(result, compute_dtype, n_t):
-    # 1080p, 16 streams, sequential batch-1 dispatches (async-pipelined)
-    s1080, p1080, f1080 = build_multi_t_step(1088, 1920, n_t, compute_dtype)
-    s1080(p1080, f1080).block_until_ready()
+def bench_1080p(result, compute_dtype, n_t, batches=(2,), base=True):
     n_streams = 16
-    t0 = time.time()
-    for _ in range(n_streams):
-        out = s1080(p1080, f1080)
-    out.block_until_ready()
-    result["fps_1080p_16stream"] = round(n_streams * n_t / (time.time() - t0), 3)
-    emit(result)
-    if remaining_s() < 300:
-        return
-    # same 16 streams, batched dispatches (the batch>=2 unlock)
-    for B in (2, 4):
+    if base:
+        # 1080p, 16 streams, sequential batch-1 dispatches (async-pipelined)
+        s1080, p1080, f1080 = build_multi_t_step(1088, 1920, n_t, compute_dtype)
+        s1080(p1080, f1080).block_until_ready()
+        t0 = time.time()
+        for _ in range(n_streams):
+            out = s1080(p1080, f1080)
+        out.block_until_ready()
+        result["fps_1080p_16stream"] = round(
+            n_streams * n_t / (time.time() - t0), 3
+        )
+        emit(result)
+    # same 16 streams, batched dispatches (the batch>=2 unlock); cold sweep
+    # points (B=4) run only from bench_cold_sweeps at the very end
+    for B in batches:
         if remaining_s() < 300:
             return
         try:
@@ -202,6 +210,16 @@ def bench_1080p(result, compute_dtype, n_t):
             traceback.print_exc(file=sys.stderr)
             result.setdefault("failed", []).append(f"b{B}_1080p")
         emit(result)
+
+
+def bench_cold_sweeps(result, h, w, n_t, compute_dtype):
+    """Never-yet-compiled sweep points (720p B=8, 1080p B=4), LAST: each is
+    a 30-90 min cold compile over the tunnel and the compile helper has
+    died mid-compile before — nothing already measured may depend on
+    these finishing."""
+    bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(8,))
+    if remaining_s() > 300:
+        bench_1080p(result, compute_dtype, n_t, batches=(4,), base=False)
 
 
 def bench_ssmr_stream(result):
@@ -457,14 +475,16 @@ def main():
 
     # secondaries: each guarded and budgeted; result re-emitted after each
     # (worst-case costs assume a cold compile over the axon tunnel)
+    # Order: warm-cached measurements first; the crash-prone compiles last
+    # (352² remat took the helper down with it on 2026-08-17; the cold
+    # sweep points are 30-90 min compiles) — nothing already measured may
+    # depend on a later compile surviving.
     secondaries = [
         (bench_batched_720p, (result, H, W, n_t, compute_dtype), 300),
         (bench_1080p, (result, compute_dtype, n_t), 240),
-        # train runs LAST: its 352² remat compile is the one program observed
-        # to take the remote-compile helper down with it (2026-08-17) — a
-        # crash there must not cost the ssmr measurement.
         (bench_ssmr_stream, (result,), 600),
         (bench_train, (result,), 300),
+        (bench_cold_sweeps, (result, H, W, n_t, compute_dtype), 600),
     ]
     import signal
 
@@ -477,18 +497,35 @@ def main():
             result.setdefault("skipped", []).append(fn.__name__)
             emit(result)
             continue
-        # Hard per-secondary wall limit: a cold compile retrying against a
-        # dead remote-compile helper otherwise backs off forever and hangs
-        # the whole bench (observed 2026-08-17: helper outage mid-352² remat
-        # compile left the process sleeping in retry for 20+ min).
+        # Two wall limits per secondary: SIGALRM (fires in Python-level
+        # compile-retry sleeps — the observed 20+ min backoff against a
+        # dead helper) and a watchdog thread at 2x (fires even when the
+        # hang is a native GIL-releasing wait, where signals never run;
+        # emits the current result and exits with everything measured so
+        # far — the remaining secondaries are unreachable behind a native
+        # hang anyway).
+        wall = int(min(max(remaining_s(), 60), 6 * worst_case_s))
+        import threading
+
+        done = threading.Event()
+
+        def _wd(done=done, wall=wall, name=fn.__name__):
+            if not done.wait(2 * wall):
+                print(f"# watchdog: {name} hung natively; emitting partial "
+                      "result", file=sys.stderr, flush=True)
+                emit(result)
+                os._exit(0)
+
+        threading.Thread(target=_wd, daemon=True).start()
         try:
-            signal.alarm(int(min(max(remaining_s(), 60), 6 * worst_case_s)))
+            signal.alarm(wall)
             fn(*args)
         except Exception:
             traceback.print_exc(file=sys.stderr)
             result.setdefault("failed", []).append(fn.__name__)
         finally:
             signal.alarm(0)
+            done.set()
         emit(result)
 
 
