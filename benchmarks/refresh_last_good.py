@@ -2,9 +2,12 @@
 
 bench.py re-emits the full (augmented) result line after every completed
 secondary; the LAST JSON line of a run is therefore its most complete
-measurement. This tool merges that line into the stale-fallback record —
-keeping any metric the new run did NOT measure (with its old provenance)
-and stamping per-number provenance for everything it did.
+measurement. This tool merges that line into the stale-fallback record,
+tracking provenance PER KEY in ``fallback_provenance`` ({metric: source}):
+every metric the new run measured is stamped with ``--source``; every
+retained metric keeps its own original source verbatim (never the new
+run's). ``fallback_sources`` is regenerated as a derived, de-duplicated
+view (one line per distinct source naming exactly the keys it measured).
 
     python benchmarks/refresh_last_good.py /tmp/bench.log \
         --source "bench 2026-08-18T12:00Z full run"
@@ -19,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 
 RECORD = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "records", "last_good_bench.json"
@@ -54,11 +58,35 @@ def last_json_line(path: str) -> dict:
     return best
 
 
+def _bench_commit() -> str:
+    """Short hash of the last commit touching bench.py — pins the
+    methodology the numbers were produced with (auditability)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        return subprocess.run(
+            ["git", "log", "-1", "--format=%h", "--", "bench.py"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def derive_sources(provenance: dict) -> list:
+    """Collapse the per-key map into one human line per distinct source,
+    newest-first by appearance order of the dict (insertion ordered)."""
+    by_source: dict = {}
+    for key, src in provenance.items():
+        by_source.setdefault(src, []).append(key)
+    return [f"{src} ({', '.join(keys)})" for src, keys in by_source.items()]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("log", help="bench run log containing the JSON lines")
     ap.add_argument("--source", required=True,
                     help="provenance string, e.g. 'bench 2026-08-18T12:00Z'")
+    ap.add_argument("--hardware", default="TPU v5e (1 chip, axon tunnel)",
+                    help="hardware string pinned into fallback_note")
     args = ap.parse_args()
 
     fresh = last_json_line(args.log)
@@ -68,35 +96,42 @@ def main():
     except FileNotFoundError:
         rec = {}
 
-    old_sources = rec.get("fallback_sources", [])
-    kept_old = []
+    old_prov = rec.get("fallback_provenance", {})
+    legacy_sources = rec.get("fallback_sources", [])
+    provenance = {}
     for k in _MEASUREMENT_KEYS:
         if k in fresh:
             rec[k] = fresh[k]
+            provenance[k] = args.source
         elif k in rec:
-            kept_old.append(k)
+            # carry forward ONLY this key's own original source — never the
+            # new run's, never a joined blob of every source
+            provenance[k] = old_prov.get(
+                k,
+                "legacy record (pre per-key provenance): "
+                + "; ".join(legacy_sources) if legacy_sources else "unknown",
+            )
     for k in ("metric", "unit"):
         if k in fresh:
             rec[k] = fresh[k]
 
     rec["stale_fallback"] = True
-    sources = [f"{args.source} ({', '.join(k for k in _MEASUREMENT_KEYS if k in fresh)})"]
-    if kept_old and old_sources:
-        sources += [f"RETAINED for {', '.join(kept_old)}: " + "; ".join(old_sources)]
-    rec["fallback_sources"] = sources
+    rec["fallback_provenance"] = provenance
+    rec["fallback_sources"] = derive_sources(provenance)
     rec["fallback_note"] = (
         "emitted only when the axon device path is unreachable at bench "
-        "time; every number was measured on TPU by the run named in "
-        "fallback_sources with bench.py's methodology"
+        f"time; every number was measured on {args.hardware} by the run "
+        "named per-key in fallback_provenance, with the methodology of "
+        f"bench.py as of commit {_bench_commit()}"
     )
     rec.pop("fallback_reason", None)
 
     with open(RECORD, "w") as f:
-        json.dump(rec, f)
+        json.dump(rec, f, indent=1)
         f.write("\n")
-    print(f"refreshed {RECORD}: "
-          f"{sum(1 for k in _MEASUREMENT_KEYS if k in fresh)} metrics from "
-          f"this run, {len(kept_old)} retained")
+    n_fresh = sum(1 for k in _MEASUREMENT_KEYS if k in fresh)
+    print(f"refreshed {RECORD}: {n_fresh} metrics from this run, "
+          f"{len(provenance) - n_fresh} retained")
 
 
 if __name__ == "__main__":

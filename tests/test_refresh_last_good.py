@@ -47,9 +47,43 @@ def test_merge_retains_unmeasured_metrics(tmp_path, monkeypatch):
     assert rec["fps_720p_b4"] == 50.0
     assert rec["ssmr_stream_fps"] == 19.2  # retained
     assert rec["stale_fallback"] is True
-    assert any("new run" in s for s in rec["fallback_sources"])
-    assert any("RETAINED" in s and "ssmr_stream_fps" in s
-               for s in rec["fallback_sources"])
+    # per-key provenance: measured keys get the new source, retained keys
+    # keep a legacy pointer naming the old sources — never the new run's
+    prov = rec["fallback_provenance"]
+    assert prov["value"] == "new run"
+    assert prov["fps_720p_b4"] == "new run"
+    assert "new run" not in prov["ssmr_stream_fps"]
+    assert "old run B" in prov["ssmr_stream_fps"]
+    # the derived human view names exactly the keys each source measured
+    new_line = next(s for s in rec["fallback_sources"] if s.startswith("new run"))
+    assert "value" in new_line and "ssmr_stream_fps" not in new_line
+
+
+def test_provenance_survives_repeated_refreshes(tmp_path, monkeypatch):
+    """The ADVICE round-3 failure: re-refreshing must not re-attribute a
+    retained metric to the newest run, nor nest source strings."""
+    record = tmp_path / "last_good.json"
+    log_a = tmp_path / "a.log"
+    log_a.write_text(json.dumps({
+        "metric": "720p_interp_frames_per_sec_8x", "value": 40.0,
+        "unit": "frames/sec/chip", "train_samples_per_sec_b8_224": 67.0,
+    }) + "\n")
+    log_b = tmp_path / "b.log"
+    log_b.write_text(json.dumps({
+        "metric": "720p_interp_frames_per_sec_8x", "value": 50.0,
+        "unit": "frames/sec/chip",
+    }) + "\n")
+    rg = _load(record)
+    for log, src in ((log_a, "run A"), (log_b, "run B"), (log_b, "run B2")):
+        monkeypatch.setattr(sys, "argv", ["rg", str(log), "--source", src])
+        rg.main()
+    rec = json.loads(record.read_text())
+    prov = rec["fallback_provenance"]
+    assert prov["value"] == "run B2"
+    assert prov["train_samples_per_sec_b8_224"] == "run A"  # still run A
+    # no nesting: each source string stays a flat label
+    assert all("RETAINED" not in s for s in rec["fallback_sources"])
+    assert len(rec["fallback_sources"]) == 2
 
 
 def test_rejects_fallback_only_logs(tmp_path, monkeypatch):
