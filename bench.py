@@ -14,9 +14,13 @@ LAST complete JSON line:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-``BENCH_BUDGET_S`` (env, default 2700) bounds total wall time: secondaries
+``BENCH_BUDGET_S`` (env, default 1500) bounds total wall time: secondaries
 whose worst-case cost exceeds the remaining budget are skipped (each one is
 also individually try/except-guarded, so one failure cannot eat the rest).
+The default is sized to finish INSIDE the driver's own kill timeout when
+every program is warm-cached (round-3 evidence: the driver killed the
+2700-budget run ~30 min in, rc=124 with the headline already on record);
+manual warm-up sessions override it (benchmarks/tpu_session.sh uses 7200).
 
 ``vs_baseline`` is the speedup over the reference-equivalent PyTorch-CPU
 implementation measured by benchmarks/torch_cpu_baseline.py (the BASELINE.md
@@ -38,7 +42,7 @@ import traceback
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 _T_START = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 import jax
 import jax.numpy as jnp
@@ -499,7 +503,7 @@ def main():
             continue
         # Two wall limits per secondary: SIGALRM (fires in Python-level
         # compile-retry sleeps — the observed 20+ min backoff against a
-        # dead helper) and a watchdog thread at 2x (fires even when the
+        # dead helper) and a watchdog thread at +240 s (fires even when the
         # hang is a native GIL-releasing wait, where signals never run;
         # emits the current result and exits with everything measured so
         # far — the remaining secondaries are unreachable behind a native
@@ -510,7 +514,7 @@ def main():
         done = threading.Event()
 
         def _wd(done=done, wall=wall, name=fn.__name__):
-            if not done.wait(2 * wall):
+            if not done.wait(wall + 240):
                 print(f"# watchdog: {name} hung natively; emitting partial "
                       "result", file=sys.stderr, flush=True)
                 emit(result)
