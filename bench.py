@@ -221,6 +221,10 @@ def bench_cold_sweeps(result, h, w, n_t, compute_dtype):
     a 30-90 min cold compile over the tunnel and the compile helper has
     died mid-compile before — nothing already measured may depend on
     these finishing."""
+    # B=16 is NOT swept: probed 2026-08-20, the fused multi-t program at
+    # B=16 720p crashes the chipless AOT compile helper after ~36 min
+    # (HTTP 500, subprocess exit 1 — same class as b4_1080p below), so the
+    # sweep would burn over half the driver's budget on a doomed compile.
     bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(8,))
     if remaining_s() > 300:
         bench_1080p(result, compute_dtype, n_t, batches=(4,), base=False)

@@ -23,6 +23,9 @@ import os
 import sys
 import time
 
+# runnable as `python benchmarks/layoutv2_probe.py` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 

@@ -32,6 +32,7 @@ RECORD = os.path.join(
 _MEASUREMENT_KEYS = (
     "value", "p50_ms", "p99_ms", "mfu", "model_tflops_per_step",
     "vs_baseline", "batch", "fps_720p_b2", "fps_720p_b4", "fps_720p_b8",
+    "fps_720p_b16",
     "fps_1080p_16stream", "batch_1080p", "train_samples_per_sec_b8_224",
     "train_samples_per_sec_b8_352_remat", "ssmr_stream_fps",
     "ssmr_stream_finite",
