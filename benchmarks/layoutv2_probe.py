@@ -40,10 +40,15 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--trace", default=None)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--slice", type=int, default=0,
+                    help="SSMTPU_S2D_SLICE_OPS: layout-preserving slice "
+                         "formulations of the S2D shuffles (ops/s2d.py)")
     args = ap.parse_args()
 
     if not args.fence:
         os.environ["SSMTPU_NO_HEAD_FENCE"] = "1"
+    if args.slice:
+        os.environ["SSMTPU_S2D_SLICE_OPS"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -88,6 +93,7 @@ def main():
     print(json.dumps({
         "h": args.h, "w": args.w, "nt": args.nt, "batch": args.batch,
         "v2": int(args.v2), "fence": int(args.fence),
+        "slice": int(args.slice),
         "mean_ms": round(mean_ms, 2),
         "fps": round(args.batch * args.nt / (mean_ms / 1e3), 2),
     }), flush=True)

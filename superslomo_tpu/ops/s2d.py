@@ -37,8 +37,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _slice_ops() -> bool:
+    """Layout-preserving slice formulations of the S2D shuffles.
+
+    Profiling the 720p B=8 program (2026-08-20 trace, ~263 ms/step of
+    'data formatting') showed XLA's layout assignment propagating a
+    W-minor {2,3,1,0} layout preference out of the rank-5/6
+    reshape-transposes in this module INTO the neighboring convs, each
+    boundary inserting a full-tensor relayout copy (the padded W-minor
+    form is also 1.2x larger than C-minor). The slice formulations below
+    express the same shuffles as channel/strided slices that keep every
+    operand C-minor. Gated (default OFF, like SSMTPU_NO_HEAD_FENCE) so
+    the default-path HLO — and the warm compile caches the driver's
+    bench depends on — stay byte-identical until a measured on-chip win
+    flips the consumer (bench.py / eval CLI set this explicitly)."""
+    import os
+
+    return os.environ.get("SSMTPU_S2D_SLICE_OPS", "0") == "1"
+
+
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) → (B, H/2, W/2, 4C), channel layout (r, s, c)."""
+    if _slice_ops():
+        # out[..., (2r+s)*C:] = x[:, r::2, s::2, :]: strided spatial slices
+        # + channel concat — no 6-D transpose, operands stay C-minor.
+        return jnp.concatenate(
+            [x[:, r::2, s::2, :] for r in (0, 1) for s in (0, 1)], axis=-1
+        )
     B, H, W, C = x.shape
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # B, H/2, W/2, r, s, C
@@ -58,6 +83,15 @@ def s2d_concat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Channel concat of two S2D tensors that equals S2D(concat(full-res))."""
     Ba, Ha, Wa, C4a = a.shape
     _, _, _, C4b = b.shape
+    if _slice_ops():
+        # pure channel-axis slices + one concat (no rank-5 round trip);
+        # the B=8 trace charged ~42 ms/step of relayout copies to this op.
+        ca, cb = C4a // 4, C4b // 4
+        parts = []
+        for i in range(4):
+            parts.append(a[..., i * ca:(i + 1) * ca])
+            parts.append(b[..., i * cb:(i + 1) * cb])
+        return jnp.concatenate(parts, axis=-1)
     a4 = a.reshape(Ba, Ha, Wa, 4, C4a // 4)
     b4 = b.reshape(Ba, Ha, Wa, 4, C4b // 4)
     return jnp.concatenate([a4, b4], axis=-1).reshape(Ba, Ha, Wa, C4a + C4b)
@@ -67,7 +101,13 @@ def s2d_pool_mean(x: jnp.ndarray) -> jnp.ndarray:
     """avg_pool_2x2 of the full-res image, from its S2D form: the mean of
     the 4 phase groups."""
     B, Hh, Wh, C4 = x.shape
-    return x.reshape(B, Hh, Wh, 4, C4 // 4).mean(axis=3)
+    C = C4 // 4
+    if _slice_ops():
+        # slice-adds, not reshape+mean (summation order 0,1,2,3 matches
+        # jnp.mean over the phase axis; /4 == *0.25 exactly in binary fp)
+        s = ((x[..., :C] + x[..., C:2 * C]) + x[..., 2 * C:3 * C]) + x[..., 3 * C:]
+        return s * jnp.asarray(0.25, x.dtype)
+    return x.reshape(B, Hh, Wh, 4, C).mean(axis=3)
 
 
 def s2d_upsample2x(z: jnp.ndarray) -> jnp.ndarray:

@@ -65,6 +65,57 @@ def test_s2d_concat_matches_full_concat(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-6)
 
 
+def test_slice_ops_bitwise_match_reshape_forms(rng, monkeypatch):
+    """SSMTPU_S2D_SLICE_OPS=1 (layout-preserving slice formulations, see
+    ops/s2d.py _slice_ops) is bit-identical to the default reshape forms
+    for every gated op."""
+    from superslomo_tpu.ops import s2d as s2d_mod
+
+    a = jnp.asarray(rng.standard_normal((2, 8, 12, 3), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 8, 12, 5), dtype=np.float32))
+    base = {
+        "s2d": np.asarray(space_to_depth(a)),
+        "concat": np.asarray(s2d_concat(space_to_depth(a), space_to_depth(b))),
+        "pool": np.asarray(s2d_pool_mean(space_to_depth(a))),
+    }
+    monkeypatch.setenv("SSMTPU_S2D_SLICE_OPS", "1")
+    assert s2d_mod._slice_ops()
+    np.testing.assert_array_equal(np.asarray(space_to_depth(a)), base["s2d"])
+    np.testing.assert_array_equal(
+        np.asarray(s2d_concat(space_to_depth(a), space_to_depth(b))),
+        base["concat"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2d_pool_mean(space_to_depth(a))), base["pool"]
+    )
+
+
+def test_slice_ops_full_model_equivalence(rng, monkeypatch):
+    """The fused multi-t forward is bitwise unchanged under the slice
+    formulations (the whole point: same math, different layout)."""
+    import jax as _jax
+
+    from superslomo_tpu.config import ModelSpec
+    from superslomo_tpu.models.superslomo import SuperSloMo
+
+    spec = ModelSpec(n_frames=2, compute_dtype="float32")
+    model = SuperSloMo(spec=spec)
+    frames = jnp.asarray(rng.standard_normal((1, 2, 64, 64, 3), dtype=np.float32))
+    t_values = jnp.asarray([0.25, 0.5])
+    params = model.init(_jax.random.PRNGKey(0), frames, jnp.full((1, 1), 0.5))
+
+    def run():
+        out, bound = model.apply(
+            params, frames, t_values, with_bounds=True,
+            method=SuperSloMo.interpolate_multi_t,
+        )
+        return np.asarray(out)
+
+    ref = run()
+    monkeypatch.setenv("SSMTPU_S2D_SLICE_OPS", "1")
+    np.testing.assert_allclose(run(), ref, rtol=0, atol=1e-6)
+
+
 def test_polyphase_conv_gradients(rng):
     x = space_to_depth(jnp.asarray(rng.standard_normal((1, 8, 8, 3), dtype=np.float32)))
     m = S2DConvLReLU(8, 7)
