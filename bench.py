@@ -33,8 +33,10 @@ polyphase implementation's inflated MACs) against the v5e bf16 peak of
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import signal
 import sys
 import time
 import traceback
@@ -53,6 +55,26 @@ PEAK_TFLOPS = 197.0  # TPU v5e bf16
 
 def remaining_s() -> float:
     return BUDGET_S - (time.time() - _T_START)
+
+
+@contextlib.contextmanager
+def _bounded(seconds: float):
+    """Nested SIGALRM bound for ONE sweep point: raises TimeoutError in the
+    body after ``seconds``, then restores whatever time the enclosing alarm
+    (the per-secondary wall) had left. This is the round-5 fix for the
+    round-4 driver run, where one cold 1080p compile consumed the whole
+    per-secondary wall and everything after it was budget-skipped
+    (BENCH_r04.json): a point that is not warm-cached now times out in
+    minutes, is recorded as cold_skipped, and the sweep moves on."""
+    prev = signal.alarm(0)
+    t0 = time.time()
+    signal.alarm(max(1, int(seconds if not prev else min(seconds, prev))))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        if prev:
+            signal.alarm(max(1, int(prev - (time.time() - t0))))
 
 
 def emit(result: dict) -> None:
@@ -134,7 +156,8 @@ def timed_fps(step, params, frames, n_t, iters):
     return mean_ms, float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
 
 
-def bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(2, 4)):
+def bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(8, 4, 2),
+                       point_wall_s=420.0):
     """Batched-throughput refinement of the headline: batch >= 2 became
     compilable once the vmapped multiflow Pallas kernel was replaced by
     per-image calls (ops/warp_pallas._batched_pallas; isolated by
@@ -142,25 +165,30 @@ def bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(2, 4)):
     (configs VAL); frames/sec/chip is the protocol metric, so the headline
     reports the best batch, with B=1's dispatch latency kept as p50/p99.
 
-    Default batches are the warm-cached ones; never-yet-compiled sweep
-    points run LAST in the bench (bench_cold_sweeps) so a hung cold
-    compile cannot block the already-warm measurements."""
+    B=8 runs FIRST: it is the round-4 headline configuration (61.46 fps,
+    benchmarks/records/bench_r4_full_20260820.jsonl) and is warm-cached, so
+    fps_720p_b8 lands on the emitted line minutes after the B=1 headline.
+    Every point is individually bounded by ``point_wall_s`` — warm points
+    finish in <90 s; a point whose program fell out of the compile cache
+    times out, is recorded under ``cold_skipped``, and the sweep proceeds
+    to the remaining (still-warm) points."""
     # vs_baseline/value is the constant 1/torch_fps, so rescaling from the
     # CURRENT best keeps it exact even across a later cold-sweep call
     base_fps = result["value"]
     for B in batches:
-        if remaining_s() < 300:
+        if remaining_s() < 120:
             break
         try:
-            step, params, frames = build_multi_t_step(h, w, n_t, compute_dtype, B)
-            out = step(params, frames)
-            out.block_until_ready()
-            iters = 10
-            t0 = time.time()
-            for _ in range(iters):
+            with _bounded(min(point_wall_s, max(remaining_s() - 30, 60))):
+                step, params, frames = build_multi_t_step(h, w, n_t, compute_dtype, B)
                 out = step(params, frames)
-            out.block_until_ready()
-            fps = B * n_t * iters / (time.time() - t0)
+                out.block_until_ready()
+                iters = 10
+                t0 = time.time()
+                for _ in range(iters):
+                    out = step(params, frames)
+                out.block_until_ready()
+                fps = B * n_t * iters / (time.time() - t0)
             result[f"fps_720p_b{B}"] = round(fps, 3)
             if fps > result["value"]:
                 result["value"] = round(fps, 3)
@@ -174,42 +202,58 @@ def bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(2, 4)):
                         result["vs_baseline"] * fps / base_fps, 2
                     )
                     base_fps = fps
+        except TimeoutError:
+            result.setdefault("cold_skipped", []).append(f"b{B}_720p")
         except Exception:
             traceback.print_exc(file=sys.stderr)
             result.setdefault("failed", []).append(f"b{B}_720p")
         emit(result)
 
 
-def bench_1080p(result, compute_dtype, n_t, batches=(2,), base=True):
+def bench_1080p(result, compute_dtype, n_t, batches=(2,), base=True,
+                point_wall_s=420.0):
+    """1080p 16-stream throughput. Every point (including the batch-1 base)
+    is ``_bounded``: in the round-4 driver run the base build hit a cold
+    trace+compile, the per-secondary alarm fired mid-trace, and the burned
+    wall caused every later secondary to be budget-skipped. Now a cold
+    point costs at most ``point_wall_s`` and the rest of the bench runs."""
     n_streams = 16
     if base:
         # 1080p, 16 streams, sequential batch-1 dispatches (async-pipelined)
-        s1080, p1080, f1080 = build_multi_t_step(1088, 1920, n_t, compute_dtype)
-        s1080(p1080, f1080).block_until_ready()
-        t0 = time.time()
-        for _ in range(n_streams):
-            out = s1080(p1080, f1080)
-        out.block_until_ready()
-        result["fps_1080p_16stream"] = round(
-            n_streams * n_t / (time.time() - t0), 3
-        )
+        try:
+            with _bounded(min(point_wall_s, max(remaining_s() - 30, 60))):
+                s1080, p1080, f1080 = build_multi_t_step(
+                    1088, 1920, n_t, compute_dtype)
+                s1080(p1080, f1080).block_until_ready()
+                t0 = time.time()
+                for _ in range(n_streams):
+                    out = s1080(p1080, f1080)
+                out.block_until_ready()
+            result["fps_1080p_16stream"] = round(
+                n_streams * n_t / (time.time() - t0), 3
+            )
+        except TimeoutError:
+            result.setdefault("cold_skipped", []).append("b1_1080p")
         emit(result)
     # same 16 streams, batched dispatches (the batch>=2 unlock); cold sweep
     # points (B=4) run only from bench_cold_sweeps at the very end
     for B in batches:
-        if remaining_s() < 300:
+        if remaining_s() < 120 or "fps_1080p_16stream" not in result:
             return
         try:
-            sB, pB, fB = build_multi_t_step(1088, 1920, n_t, compute_dtype, B)
-            sB(pB, fB).block_until_ready()
-            t0 = time.time()
-            for _ in range(n_streams // B):
-                out = sB(pB, fB)
-            out.block_until_ready()
-            fps = n_streams * n_t / (time.time() - t0)
+            with _bounded(min(point_wall_s, max(remaining_s() - 30, 60))):
+                sB, pB, fB = build_multi_t_step(1088, 1920, n_t, compute_dtype, B)
+                sB(pB, fB).block_until_ready()
+                t0 = time.time()
+                for _ in range(n_streams // B):
+                    out = sB(pB, fB)
+                out.block_until_ready()
+                fps = n_streams * n_t / (time.time() - t0)
             if fps > result["fps_1080p_16stream"]:
                 result["fps_1080p_16stream"] = round(fps, 3)
                 result["batch_1080p"] = B
+        except TimeoutError:
+            result.setdefault("cold_skipped", []).append(f"b{B}_1080p")
         except Exception:
             traceback.print_exc(file=sys.stderr)
             result.setdefault("failed", []).append(f"b{B}_1080p")
@@ -217,17 +261,26 @@ def bench_1080p(result, compute_dtype, n_t, batches=(2,), base=True):
 
 
 def bench_cold_sweeps(result, h, w, n_t, compute_dtype):
-    """Never-yet-compiled sweep points (720p B=8, 1080p B=4), LAST: each is
-    a 30-90 min cold compile over the tunnel and the compile helper has
-    died mid-compile before — nothing already measured may depend on
-    these finishing."""
-    # B=16 is NOT swept: probed 2026-08-20, the fused multi-t program at
-    # B=16 720p crashes the chipless AOT compile helper after ~36 min
-    # (HTTP 500, subprocess exit 1 — same class as b4_1080p below), so the
-    # sweep would burn over half the driver's budget on a doomed compile.
-    bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(8,))
-    if remaining_s() > 300:
-        bench_1080p(result, compute_dtype, n_t, batches=(4,), base=False)
+    """Retry slot for anything that timed out cold earlier, LAST and with a
+    generous per-point wall: nothing already measured depends on these
+    finishing. B=16 720p and B=4 1080p are NOT swept: probed 2026-08-20
+    (and re-bisected round 5), those fused multi-t programs crash the
+    chipless AOT compile helper after ~36 min (HTTP 500, subprocess
+    exit 1), so sweeping them would burn half the driver's budget on a
+    doomed compile."""
+    wall = max(remaining_s() - 60, 120)
+    for name in list(result.get("cold_skipped", [])):
+        if remaining_s() < 180:
+            break
+        b, res = name.split("_")  # e.g. "b8_720p"
+        B = int(b[1:])
+        result["cold_skipped"].remove(name)
+        if res == "720p":
+            bench_batched_720p(result, h, w, n_t, compute_dtype,
+                               batches=(B,), point_wall_s=wall)
+        else:
+            bench_1080p(result, compute_dtype, n_t, batches=(B,),
+                        base=(B == 1), point_wall_s=wall)
 
 
 def bench_ssmr_stream(result):
@@ -412,8 +465,6 @@ def _watchdog(seconds: float, reason: str):
 
 
 def main():
-    import signal
-
     def _alarm(signum, frame):
         raise TimeoutError("device init / headline wall limit hit")
 
@@ -481,20 +532,20 @@ def main():
     if not on_tpu:
         return
 
-    # secondaries: each guarded and budgeted; result re-emitted after each
-    # (worst-case costs assume a cold compile over the axon tunnel)
-    # Order: warm-cached measurements first; the crash-prone compiles last
-    # (352² remat took the helper down with it on 2026-08-17; the cold
-    # sweep points are 30-90 min compiles) — nothing already measured may
-    # depend on a later compile surviving.
+    # secondaries: each guarded and budgeted; result re-emitted after each.
+    # Round-5 order (VERDICT r4 item 1): the warm B=8 sweep — the round-4
+    # headline configuration — runs FIRST so fps_720p_b8 is on the emitted
+    # line within minutes; then the remaining warm programs (SSM-R, train,
+    # 1080p); the cold-retry slot is last. Gates are small because every
+    # sweep point is now individually _bounded: a cold compile costs one
+    # point's wall (~7 min), never the rest of the budget.
     secondaries = [
-        (bench_batched_720p, (result, H, W, n_t, compute_dtype), 300),
-        (bench_1080p, (result, compute_dtype, n_t), 240),
-        (bench_ssmr_stream, (result,), 600),
-        (bench_train, (result,), 300),
-        (bench_cold_sweeps, (result, H, W, n_t, compute_dtype), 600),
+        (bench_batched_720p, (result, H, W, n_t, compute_dtype), 150),
+        (bench_ssmr_stream, (result,), 420),
+        (bench_train, (result,), 240),
+        (bench_1080p, (result, compute_dtype, n_t), 150),
+        (bench_cold_sweeps, (result, H, W, n_t, compute_dtype), 180),
     ]
-    import signal
 
     def _alarm(signum, frame):
         raise TimeoutError("secondary exceeded its wall-clock allowance")
@@ -511,8 +562,10 @@ def main():
         # hang is a native GIL-releasing wait, where signals never run;
         # emits the current result and exits with everything measured so
         # far — the remaining secondaries are unreachable behind a native
-        # hang anyway).
-        wall = int(min(max(remaining_s(), 60), 6 * worst_case_s))
+        # hang anyway). The SIGALRM wall is 3x the expected warm cost, NOT
+        # the remaining budget: a stuck secondary must leave the rest of
+        # the sweep runnable (round-4 post-mortem, BENCH_r04.json).
+        wall = int(min(max(remaining_s() - 30, 60), 3 * worst_case_s))
         import threading
 
         done = threading.Event()

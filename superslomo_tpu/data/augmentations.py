@@ -128,19 +128,41 @@ class Binarize:
 
 
 class Normalize:
-    """(x / 255 - mean) / std (augmentations.py:181-190)."""
+    """(x / 255 - mean) / std (augmentations.py:181-190).
+
+    Numerics match the reference bit-for-bit — required for the executed-
+    reference protocol golden (tests/test_reference_protocol_e2e.py) and
+    for metric parity, because the evaluator's unclipped uint8 cast
+    truncates, so even 1-ulp drift can flip a ground-truth pixel:
+
+    - forward: the reference normalizes the float64 decode buffer with
+      float64 mean/std (default_reader.py:182-207 np.zeros default dtype;
+      python-float mean) and only casts to float32 at batch collate
+      (``.float()``, evaluate_interpolation_results.py:255) — so mean/std
+      are kept float64 here and the cast happens once, at the end.
+    - inverse: the reference denormalizes in float32 (torch.tensor(...)
+      defaults, evaluate_interpolation_results.py:192-202) — so float32
+      constants, and the python-float ``* divisor`` stays float32 under
+      numpy's weak scalar promotion.
+    """
 
     def __init__(self, pix_mean, pix_std, divisor: float = 255.0):
-        self.mean = np.asarray(pix_mean, dtype=np.float32)
-        self.std = np.asarray(pix_std, dtype=np.float32)
+        self.mean = np.asarray(pix_mean, dtype=np.float64)
+        self.std = np.asarray(pix_std, dtype=np.float64)
+        self.mean_f32 = self.mean.astype(np.float32)
+        self.std_f32 = self.std.astype(np.float32)
         self.divisor = divisor
 
     def __call__(self, frames: np.ndarray) -> np.ndarray:
-        return ((frames / self.divisor - self.mean) / self.std).astype(np.float32)
+        return (
+            (frames.astype(np.float64) / self.divisor - self.mean) / self.std
+        ).astype(np.float32)
 
     def inverse(self, frames: np.ndarray) -> np.ndarray:
         """Denormalize back to 0-255 (evaluate_interpolation_results.py:192-202)."""
-        return (frames * self.std + self.mean) * self.divisor
+        return (
+            frames.astype(np.float32) * self.std_f32 + self.mean_f32
+        ) * self.divisor
 
 
 class EvalPad:

