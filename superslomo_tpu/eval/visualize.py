@@ -57,8 +57,13 @@ class Interpolator:
     def load_frames(self, paths):
         import cv2
 
-        imgs = [cv2.imread(p)[..., ::-1].astype(np.float32) for p in paths]
-        frames = np.stack(imgs)  # (N, H, W, 3) RGB
+        imgs = [cv2.imread(p)[..., ::-1] for p in paths]
+        # raw uint8 decode kept for writing the original frames exactly
+        # (the reference writes originals from the unnormalized tensor,
+        # visualize_interpolation.py:120-133; a normalize→denormalize round
+        # trip can flip a pixel by 1 under the truncating cast)
+        self.last_raw = np.stack(imgs)  # (N, H, W, 3) RGB uint8
+        frames = self.last_raw.astype(np.float32)
         h, w = frames.shape[1:3]
         self.pad = eval_padding_for(h, w)
         left, right, top, bottom = self.pad
@@ -104,11 +109,11 @@ class Interpolator:
         n_out = 0
         for idxs in self.sliding_windows(len(paths)):
             frames = self.load_frames([paths[i] for i in idxs])[None]  # (1, N, H, W, 3)
-            mid_left = idxs[self.n_frames // 2 - 1]
-            # original left frame of the mid window
+            # original left frame of the mid window, written from the raw
+            # decode (bit-exact, like the reference)
             self._write(
                 os.path.join(output_dir, f"{n_out:06d}.png"),
-                self.to_uint8(frames[0, self.n_frames // 2 - 1]),
+                self.last_raw[self.n_frames // 2 - 1],
             )
             n_out += 1
             preds = np.asarray(self._multi_t(self.params, jnp.asarray(frames)))[0]
@@ -123,11 +128,11 @@ class Interpolator:
             count += 1
             if max_windows is not None and count >= max_windows:
                 break
-        # final original frame
+        # final original frame (raw decode, bit-exact)
         if paths:
-            frames = self.load_frames([paths[-1]])
+            self.load_frames([paths[-1]])
             self._write(os.path.join(output_dir, f"{n_out:06d}.png"),
-                        self.to_uint8(frames[0]))
+                        self.last_raw[0])
             n_out += 1
         return n_out
 

@@ -249,3 +249,104 @@ def test_protocol_metrics_match(reference_run, our_run):
     assert abs(reference_run["PSNR"] - our_run["PSNR"]) < 0.05
     assert abs(reference_run["SSIM"] - our_run["SSIM"]) < 0.005
     assert abs(reference_run["IE"] - our_run["IE"]) < 0.05
+
+
+# --------------------------------------------------------------------- #
+# Visualizer protocol golden (visualize_interpolation.py:105-221)
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def viz_tree(tmp_path_factory):
+    """4 frames → 3 pair windows for the slow-mo renderer."""
+    from tests.test_data import write_png_clip
+
+    root = tmp_path_factory.mktemp("refviz")
+    write_png_clip(root / "frames", 4, h=48, w=64, seed=21)
+    return root
+
+
+@pytest.fixture(scope="module")
+def ref_viz_run(ref_eval_mod, viz_tree, tmp_path_factory):
+    """Run the reference's Interpolator (executed, torch CPU, random
+    weights) over the 4-frame dir at 4x; collect its written PNGs."""
+    import cv2
+
+    import visualize_interpolation as ref_viz
+
+    out = tmp_path_factory.mktemp("refviz_out")
+
+    class Args:
+        input_dir = str(viz_tree / "frames")
+        output_dir = str(out)
+        img_type = "png"
+        is_fps_240 = False
+        upsample_rate = 4
+        expt = "golden"
+        show_intermediate_outputs = False
+
+    from superslomo_tpu.config import default_config
+
+    cfg = default_config()
+    torch.manual_seed(321)
+    interp = ref_viz.Interpolator(cfg, Args())
+    interp.interpolate_frames()
+
+    img_dir = f"{out}/golden/images"
+    import glob as _glob
+
+    frames = [
+        cv2.imread(p)[..., ::-1]
+        for p in sorted(_glob.glob(img_dir + "/*.png"))
+    ]
+    return {
+        "frames": frames,
+        "state_dicts": (
+            interp.model.stage1_model.state_dict(),
+            interp.model.stage2_model.state_dict(),
+        ),
+    }
+
+
+@pytest.mark.compile
+def test_visualizer_matches_reference(ref_viz_run, viz_tree, tmp_path):
+    """Our fused multi-t renderer reproduces the reference's written PNG
+    stream: originals bit-exact, interpolated frames within wraparound-
+    aware ±1 (reference pads before write and never crops — its frames are
+    centre-cropped here; ours clips out-of-range instead of wrapping, so
+    clipped pixels are excluded from the modular comparison)."""
+    import cv2
+
+    from superslomo_tpu.config import default_config
+    from superslomo_tpu.eval.visualize import Interpolator
+    from superslomo_tpu.training.checkpoint import convert_unet_state_dict
+
+    def _convert(sd):
+        return convert_unet_state_dict({k: v.numpy() for k, v in sd.items()})
+
+    s1, s2 = ref_viz_run["state_dicts"]
+    params = {"params": {"stage1": _convert(s1), "stage2": _convert(s2)}}
+
+    cfg = default_config()
+    ours = Interpolator(cfg, params, upsample_rate=4)
+    out_dir = tmp_path / "ours"
+    n = ours.interpolate_directory(str(viz_tree / "frames"), str(out_dir))
+
+    ref_frames = ref_viz_run["frames"]
+    assert n == len(ref_frames) == 3 * 4 + 1  # 3 windows x (1+3) + final
+
+    # reference frames are written padded (48→64 rows, centre)
+    top = 8
+    our_paths = sorted(out_dir.glob("*.png"))
+    for i, (rf, op) in enumerate(zip(ref_frames, our_paths)):
+        of = cv2.imread(str(op))[..., ::-1]
+        rf = rf[top : top + 48]
+        assert rf.shape == of.shape
+        if i % 4 == 0:  # original frames
+            np.testing.assert_array_equal(rf, of, err_msg=f"original {i}")
+        else:  # interpolated frames
+            interior = (of > 0) & (of < 255)  # ours clips; ref wraps
+            d = (rf.astype(np.int16) - of.astype(np.int16)) % 256
+            d = np.minimum(d, 256 - d)[interior]
+            assert float(np.mean(d > 1)) < 0.01, f"interp frame {i}"
+            assert int(d.max()) <= 8, f"interp frame {i}: max {int(d.max())}"
