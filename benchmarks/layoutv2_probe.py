@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--slice", type=int, default=0,
                     help="SSMTPU_S2D_SLICE_OPS: layout-preserving slice "
                          "formulations of the S2D shuffles (ops/s2d.py)")
+    ap.add_argument("--assembly", type=int, default=None,
+                    help="lv2_assembly override (grouped stage-2 assembly "
+                         "without the rest of v2); default follows --v2")
+    ap.add_argument("--split", type=int, default=None,
+                    help="lv2_split_decoder override; default follows --v2")
     args = ap.parse_args()
 
     if not args.fence:
@@ -59,7 +64,13 @@ def main():
     from superslomo_tpu.ops import with_prepared
 
     spec = ModelSpec(
-        n_frames=2, compute_dtype=args.dtype, layout_v2=bool(args.v2)
+        n_frames=2, compute_dtype=args.dtype, layout_v2=bool(args.v2),
+        lv2_assembly=None if args.assembly is None else bool(args.assembly),
+        lv2_split_decoder=None if args.split is None else bool(args.split),
+        # the fence rides --fence for v1-piecemeal runs too: lv2_fence
+        # follows (assembly or v2) so a fence-only probe is --v2 0
+        # --assembly 0 --fence 1 ... via the env knob path below
+        lv2_fence=True if (args.assembly and args.fence) else None,
     )
     model = SuperSloMo(spec=spec)
     rng = np.random.default_rng(0)
@@ -94,6 +105,7 @@ def main():
         "h": args.h, "w": args.w, "nt": args.nt, "batch": args.batch,
         "v2": int(args.v2), "fence": int(args.fence),
         "slice": int(args.slice),
+        "assembly": args.assembly, "split": args.split,
         "mean_ms": round(mean_ms, 2),
         "fps": round(args.batch * args.nt / (mean_ms / 1e3), 2),
     }), flush=True)

@@ -84,6 +84,13 @@ _DEFAULTS = {
     # preferences. Numerically exact in f32; in bf16 the split-conv sums
     # round once more (same magnitude as the existing bf16 quantization).
     ("TPU", "LAYOUT_V2"): "FALSE",
+    # Piecemeal overrides of the three LAYOUT_V2 rewrites (AUTO = follow
+    # LAYOUT_V2). LV2_ASSEMBLY and LV2_FENCE are memory-neutral and can
+    # ship at the B=8 headline shape; LV2_SPLIT_DECODER is what OOMs there
+    # (see ModelSpec / ARCHITECTURE.md).
+    ("TPU", "LV2_ASSEMBLY"): "AUTO",
+    ("TPU", "LV2_SPLIT_DECODER"): "AUTO",
+    ("TPU", "LV2_FENCE"): "AUTO",
 }
 
 VALID_BOTTLENECKS = ("CONV", "CLSTM", "CGRU")
@@ -162,7 +169,16 @@ class Config:
             clstm_gate_order=self.get("TPU", "CLSTM_GATE_ORDER").upper(),
             remat=self.getboolean("TPU", "REMAT"),
             layout_v2=self.getboolean("TPU", "LAYOUT_V2"),
+            lv2_assembly=self._tristate("LV2_ASSEMBLY"),
+            lv2_split_decoder=self._tristate("LV2_SPLIT_DECODER"),
+            lv2_fence=self._tristate("LV2_FENCE"),
         )
+
+    def _tristate(self, key: str) -> bool | None:
+        """[TPU] AUTO → None (follow LAYOUT_V2); else a boolean."""
+        if self.get("TPU", key).strip().upper() == "AUTO":
+            return None
+        return self.getboolean("TPU", key)
 
     def validate(self) -> None:
         """Fail-fast schema validation (the reference validates lazily via
@@ -201,6 +217,30 @@ class ModelSpec:
     clstm_gate_order: str = "IFOG"
     remat: bool = False  # jax.checkpoint each U-Net stage (training memory)
     layout_v2: bool = False  # split-conv decoder + layout-fenced epilogue
+    # Round-5 piecemeal LAYOUT_V2 (VERDICT r4 item 2): the full v2 program
+    # OOMs by 11.6 MB at the 720p B=8 headline shape (the split-conv
+    # decoder keeps two half-channel conv outputs live; the fences pin
+    # full-res temps) — but its three rewrites are independent, so each can
+    # ship alone where it fits. None = follow ``layout_v2``.
+    lv2_assembly: bool | None = None  # grouped (c,r,s) stage-2 assembly
+    lv2_split_decoder: bool | None = None  # split-conv decoder joins
+    lv2_fence: bool | None = None  # U-Net head layout fences
+
+    @property
+    def v2_assembly(self) -> bool:
+        return self.layout_v2 if self.lv2_assembly is None else self.lv2_assembly
+
+    @property
+    def v2_split_decoder(self) -> bool:
+        return (
+            self.layout_v2
+            if self.lv2_split_decoder is None
+            else self.lv2_split_decoder
+        )
+
+    @property
+    def v2_fence(self) -> bool:
+        return self.layout_v2 if self.lv2_fence is None else self.lv2_fence
 
 
 def load_config(path: str) -> Config:

@@ -108,7 +108,7 @@ class SuperSloMo(nn.Module):
             bottleneck=self.spec.stage1_bottleneck,
             emit_encoding=self.spec.cross_skip,
             dtype=dtype,
-            layout_v2=self.spec.layout_v2,
+            split_decoder=self.spec.v2_split_decoder,
             name="stage1",
             **clstm,
         )
@@ -117,7 +117,8 @@ class SuperSloMo(nn.Module):
             bottleneck=self.spec.stage2_bottleneck,
             accept_encoding=self.spec.cross_skip,
             dtype=dtype,
-            layout_v2=self.spec.layout_v2,
+            split_decoder=self.spec.v2_split_decoder,
+            grouped_input=self.spec.v2_assembly,
             name="stage2",
             **clstm,
         )
@@ -376,7 +377,7 @@ class SuperSloMo(nn.Module):
 
         carry1 = rnn_carry.get("stage1") if rnn_carry else None
         head1_s2d, encoding, _ = self.stage1(pairs, None, carry1, True, False)
-        if self.spec.layout_v2 and _head_fence():
+        if self.spec.v2_fence and _head_fence():
             # Layout fence: round-3 profiling showed the head-extraction
             # transposes' layout preferences propagating INTO the full-res
             # tail convs (conv11b/fuse/final ran at 8-17% efficiency with
@@ -428,7 +429,7 @@ class SuperSloMo(nn.Module):
             axis=1,
         )  # (BW, 16, n_t, H, W) compute dtype
         Hh, Wh = H // 2, W_ // 2
-        if self.spec.layout_v2:
+        if self.spec.v2_assembly:
             # grouped (c, r, s) channel order: the minor dims of the
             # transpose target (c, r, s) end with the SOURCE's minor dim
             # (column phase s), so XLA lowers it as one locality-preserving
@@ -463,7 +464,7 @@ class SuperSloMo(nn.Module):
             carry2 = jax.tree.map(tile, carry2)
 
         head2_s2d, _, _ = self.stage2(flowI_s2d, enc_t, carry2, True, True)
-        if self.spec.layout_v2 and _head_fence():
+        if self.spec.v2_fence and _head_fence():
             head2_s2d = jax.lax.optimization_barrier(head2_s2d)
         # (B*n_t, W_n, Hh, Wh, 20); bound over the dflow channels (c in
         # 1..4 per phase) — the same element set as full-res [..., 1:5]

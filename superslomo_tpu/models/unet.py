@@ -86,12 +86,15 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     clstm_merge: str = "concat"  # concat | sum (models/bottleneck.py)
     clstm_gate_order: str = "ifog"
-    # LAYOUT_V2 (config [TPU]): decoder skip-concats become split convs
-    # (exact — conv/upconv are linear in input channels), and an s2d input
-    # arrives in grouped (c, r, s) channel order consumed via conv1a's
-    # in_perm weight permutation. See ops/s2d.py S2DConv / ops/upconv.py
-    # upsample_conv_pair for the profiling rationale.
-    layout_v2: bool = False
+    # LAYOUT_V2 sub-features (config [TPU]; independently gateable since
+    # round 5 — ModelSpec.v2_split_decoder / v2_assembly):
+    # ``split_decoder``: decoder skip-concats become split convs (exact —
+    # conv/upconv are linear in input channels). ``grouped_input``: an s2d
+    # input arrives in grouped (c, r, s) channel order consumed via
+    # conv1a's in_perm weight permutation. See ops/s2d.py S2DConv /
+    # ops/upconv.py upsample_conv_pair for the profiling rationale.
+    split_decoder: bool = False
+    grouped_input: bool = False
 
     @nn.compact
     def __call__(
@@ -129,7 +132,7 @@ class UNet(nn.Module):
             h = x.reshape(B * T, H // 2, W // 2, x.shape[-1])
         else:
             h = space_to_depth(x.reshape(B * T, H, W, C))
-        if input_is_s2d and self.layout_v2:
+        if input_is_s2d and self.grouped_input:
             # the multi-t assembler emits grouped (c, r, s) channel order
             # (one locality-preserving transpose instead of a multi-pass
             # relayout); conv1a consumes it via the free weight permutation
@@ -194,7 +197,7 @@ class UNet(nn.Module):
         # LAYOUT_V2: feed each upconv its concat operands separately (the
         # composite conv splits over input channels — ops/upconv.py
         # upsample_conv_pair) instead of materializing the concat.
-        join = (lambda a, b: (a, b)) if self.layout_v2 else (
+        join = (lambda a, b: (a, b)) if self.split_decoder else (
             lambda a, b: jnp.concatenate([a, b], axis=-1)
         )
         if self.accept_encoding:
@@ -217,7 +220,7 @@ class UNet(nn.Module):
         # ---- decoder block 11 + fuse + head (full res, polyphase S2D) ------
         h = upblk("conv11a", 32)(join(h, depth_to_space(skip2_s2d)))  # + conv2b
         h = sblk("conv11b", 32, 3)(h)
-        if self.layout_v2:
+        if self.split_decoder:
             h = sblk("fuse_conv", 32, 3)(h, skip1_s2d)
         else:
             h = s2d_concat(h, skip1_s2d)

@@ -19,6 +19,10 @@ from superslomo_tpu.models.superslomo import SuperSloMo
 
 V1 = ModelSpec(n_frames=2)
 V2 = ModelSpec(n_frames=2, layout_v2=True)
+# Piecemeal gating (round 5): grouped assembly + fence WITHOUT the
+# split-conv decoder — the memory-neutral subset that fits the 720p B=8
+# headline shape where full v2 OOMs (ARCHITECTURE.md).
+V2_ASM = ModelSpec(n_frames=2, lv2_assembly=True, lv2_fence=True)
 
 
 def _frames(rng, b=1, t=2, h=64, w=64):
@@ -57,11 +61,12 @@ def test_param_trees_identical(rng):
     assert s1 == s2
 
 
-@pytest.mark.parametrize("batch", [1, 2])
-def test_planar_multi_t_equivalence(rng, batch):
+@pytest.mark.parametrize("batch,spec2", [(1, V2), (2, V2), (1, V2_ASM)])
+def test_planar_multi_t_equivalence(rng, batch, spec2):
     """The fused multi-t fast path (grouped-order assembly + in_perm +
-    fences + split decoder): v2 pred/bound == v1."""
-    m1, m2 = SuperSloMo(spec=V1), SuperSloMo(spec=V2)
+    fences + split decoder): v2 pred/bound == v1 — and the assembly-only
+    piecemeal spec (no split decoder) likewise."""
+    m1, m2 = SuperSloMo(spec=V1), SuperSloMo(spec=spec2)
     frames = _frames(rng, b=batch)
     t_values = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
     params = m1.init(jax.random.PRNGKey(0), frames, jnp.full((batch, 1), 0.5))
