@@ -48,12 +48,17 @@ def main():
                          "without the rest of v2); default follows --v2")
     ap.add_argument("--split", type=int, default=None,
                     help="lv2_split_decoder override; default follows --v2")
+    ap.add_argument("--bf16warp", type=int, default=0,
+                    help="SSMTPU_BF16_FINAL_WARP: bf16 final-image warps "
+                         "(quality-tradeoff probe; models/superslomo.py)")
     args = ap.parse_args()
 
     if not args.fence:
         os.environ["SSMTPU_NO_HEAD_FENCE"] = "1"
     if args.slice:
         os.environ["SSMTPU_S2D_SLICE_OPS"] = "1"
+    if args.bf16warp:
+        os.environ["SSMTPU_BF16_FINAL_WARP"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -106,6 +111,7 @@ def main():
         "v2": int(args.v2), "fence": int(args.fence),
         "slice": int(args.slice),
         "assembly": args.assembly, "split": args.split,
+        "bf16warp": int(args.bf16warp),
         "mean_ms": round(mean_ms, 2),
         "fps": round(args.batch * args.nt / (mean_ms / 1e3), 2),
     }), flush=True)

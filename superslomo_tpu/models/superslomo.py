@@ -407,8 +407,12 @@ class SuperSloMo(nn.Module):
         # compute dtype exactly as the channel-minor path does
         planes6 = pairs.reshape(BW, H, W_, 6).transpose(0, 3, 1, 2)  # (BW,6,H,W)
         pl0, pl1 = planes6[:, 0:3], planes6[:, 3:6]
-        w1t = warp_multiflow_planar(pl1.astype(cdt), u_t1, v_t1)  # (BW,3,n_t,H,W) f32
-        w0t = warp_multiflow_planar(pl0.astype(cdt), u_t0, v_t0)
+        # stage-2 input warps store the consumer's compute dtype directly
+        # (f32 accumulation in-kernel; identical values to astype-after,
+        # half the output HBM traffic — these are the two largest
+        # intermediates of the step at (BW, 3, n_t, H, W))
+        w1t = warp_multiflow_planar(pl1.astype(cdt), u_t1, v_t1, out_dtype=cdt)
+        w0t = warp_multiflow_planar(pl0.astype(cdt), u_t0, v_t0, out_dtype=cdt)
 
         # Stage-2 input assembled DIRECTLY in S2D layout: ONE channel-planar
         # concat then ONE reshape+transpose. Channel order [img1(3), w1t(3),
@@ -421,9 +425,9 @@ class SuperSloMo(nn.Module):
         P = jnp.concatenate(
             [
                 bc(pl1).astype(cdt),
-                w1t.astype(cdt),
+                w1t,
                 est.astype(cdt),
-                w0t.astype(cdt),
+                w0t,
                 bc(pl0).astype(cdt),
             ],
             axis=1,
@@ -488,11 +492,20 @@ class SuperSloMo(nn.Module):
         u_p_t0 = mid_est(u_t0) + grp(p3)
         v_p_t0 = mid_est(v_t0) + grp(p4)
 
-        # final-image warps in f32 (quality), planar in and out
+        # final-image warps in f32 (quality), planar in and out.
+        # SSMTPU_BF16_FINAL_WARP=1 (trace-time, default OFF): bf16 planes +
+        # bf16 stores — halves the last full-res gather traffic but rounds
+        # the warped images to bf16 before the f32 blend (≈0.4% relative;
+        # up to ±1 uint8 level post-denorm), so it is a measured-tradeoff
+        # knob, NOT a default; the protocol goldens pin the default path.
+        import os as _os
+
+        bf16_final = _os.environ.get("SSMTPU_BF16_FINAL_WARP", "0") == "1"
+        wdt = cdt if bf16_final else f32
         mp = pairs[:, mid].transpose(0, 3, 1, 2)  # (B, 6, H, W)
-        mp0, mp1 = mp[:, 0:3], mp[:, 3:6]
-        w0 = warp_multiflow_planar(mp0, u_p_t0, v_p_t0)  # (B, 3, n_t, H, W)
-        w1 = warp_multiflow_planar(mp1, u_p_t1, v_p_t1)
+        mp0, mp1 = mp[:, 0:3].astype(wdt), mp[:, 3:6].astype(wdt)
+        w0 = warp_multiflow_planar(mp0, u_p_t0, v_p_t0, out_dtype=wdt)
+        w1 = warp_multiflow_planar(mp1, u_p_t1, v_p_t1, out_dtype=wdt)
 
         t_g = t_values.astype(f32).reshape(1, 1, n_t, 1, 1)
         v0e = grp(v_0t)[:, None]  # (B, 1, n_t, H, W)

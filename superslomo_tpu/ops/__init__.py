@@ -113,33 +113,40 @@ def warp_multiflow(img, flows, in_band=None):
     return out.reshape(B, n, H, W, C)
 
 
-def warp_multiflow_planar(planes, u, v):
+def warp_multiflow_planar(planes, u, v, out_dtype=None):
     """Planar multi-flow warp: (B, C, H, W) image planes x (B, n, H, W) f32
-    u/v → (B, C, n, H, W) f32.
+    u/v → (B, C, n, H, W) ``out_dtype`` (default f32).
 
     The planar layout keeps every (H, W) plane perfectly tiled on the TPU's
     (8, 128) vregs — the channel-minor API pays layout copies slicing u/v
     out of (..., 2) tensors and transposing outputs back. ALWAYS unguarded:
     callers follow the host-checked-bound protocol (the fused multi-t
     epilogue, models/superslomo.py). Not mesh-routed — the sharded eval
-    path uses the channel-minor wrappers (parallel/warp_spmd.py)."""
+    path uses the channel-minor wrappers (parallel/warp_spmd.py).
+
+    ``out_dtype``: accumulation/interpolation is always f32; a bf16
+    out_dtype moves the consumer's astype into the kernel's store (same
+    values bit-for-bit, half the output HBM traffic) — used for the
+    stage-2 input warps, whose consumer convs are bf16."""
     import jax
     import jax.numpy as jnp
 
+    if out_dtype is None:
+        out_dtype = jnp.float32
     use = _PALLAS_WARP_OVERRIDE
     if use is None:
         use = jax.default_backend() == "tpu"
     if use:
         from superslomo_tpu.ops.warp_pallas import backward_warp_multiflow_planar
 
-        return backward_warp_multiflow_planar(planes, u, v)
+        return backward_warp_multiflow_planar(planes, u, v, out_dtype=out_dtype)
     B, C, H, W = planes.shape
     n = u.shape[1]
     img = planes.transpose(0, 2, 3, 1)
     flows = jnp.stack([u, v], axis=-1).astype(jnp.float32)
     tiled = jnp.broadcast_to(img[:, None], (B, n, H, W, C)).reshape(B * n, H, W, C)
     out = backward_warp(tiled, flows.reshape(B * n, H, W, 2)).reshape(B, n, H, W, C)
-    return out.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
+    return out.transpose(0, 4, 1, 2, 3).astype(out_dtype)
 
 
 def warp_auto(img, flow, in_band=None):

@@ -213,8 +213,8 @@ def _warp_image(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([o[:H, :W] for o in outs], axis=-1).astype(img.dtype)
 
 
-def _warp_kernel_mf(img_ref, u_ref, v_ref, out_ref, *, h_total, w_total, sub,
-                    grid_dims):
+def _warp_kernel_mf(img_ref, u_ref, v_ref, out_ref, acc_ref, *, h_total,
+                    w_total, sub, grid_dims):
     """Multi-flow kernel body: one image warped by many flows.
 
     img_ref: (Cg, Hpad, Wl) channel plane(s), CONSTANT across the grid —
@@ -222,7 +222,12 @@ def _warp_kernel_mf(img_ref, u_ref, v_ref, out_ref, *, h_total, w_total, sub,
     the VMEM copy (the whole point: at 7 t-values the per-t kernels would
     otherwise re-DMA and re-pad the same planes seven times).
     u_ref/v_ref: (1, HB, Wl) f32 blocks of the (n, Hp, Wl) flow stacks.
-    out_ref: (Cg, 1, HB, Wl) f32 blocks of the (Cg, n, Hp, Wl) outputs.
+    out_ref: (Cg, 1, HB, Wl) blocks of the (Cg, n, Hp, Wl) outputs — f32,
+    or the consumer's bf16 (round 5): the stage-2 input warps feed convs
+    that quantize to bf16 anyway, so storing bf16 halves this step's
+    dominant warp-output HBM traffic with the SAME values (accumulation
+    stays f32 in ``acc_ref`` VMEM scratch; only the final store rounds,
+    exactly like the astype the consumer used to apply).
     Index math identical to _warp_kernel."""
     Cg = img_ref.shape[0]
     HB, Wl = out_ref.shape[2], out_ref.shape[3]
@@ -272,7 +277,7 @@ def _warp_kernel_mf(img_ref, u_ref, v_ref, out_ref, *, h_total, w_total, sub,
         lanes = slice(j0 * _LANES, j1 * _LANES)
 
         for c in range(Cg):
-            out_ref[c, 0, :, sl] = jnp.zeros((HB, _LANES), f32)
+            acc_ref[c] = jnp.zeros((HB, _LANES), f32)
 
         def body(i, carry):
             q = qlo + i
@@ -294,22 +299,27 @@ def _warp_kernel_mf(img_ref, u_ref, v_ref, out_ref, *, h_total, w_total, sub,
                         rows = jax.lax.slice_in_dim(blk, s, s + HB, axis=0)
                         c0 = _gather_row_chunk(rows, x0c, j0)
                         c1 = _gather_row_chunk(rows, x1c, j0)
-                        out_ref[c, 0, :, sl] += g0 * c0 + g1 * c1
+                        acc_ref[c] += g0 * c0 + g1 * c1
 
             return carry
 
         jax.lax.fori_loop(0, qhi - qlo + 1, body, 0)
+        for c in range(Cg):
+            out_ref[c, 0, :, sl] = acc_ref[c].astype(out_ref.dtype)
 
 
 def _warp_planes_core(planes: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
-                      H: int, W: int) -> jnp.ndarray:
+                      H: int, W: int,
+                      out_dtype=jnp.float32) -> jnp.ndarray:
     """Shared multi-flow kernel launch on UNPADDED planar inputs.
 
     planes: (C, H, W) image planes (f32/bf16); u, v: (n, H, W) f32 flow
-    components. → (C, n, H, W) f32. Channel planes are DMA'd to VMEM once
-    and shared by all n warps: either all C channels resident (bf16 720p and
-    small f32) with grid (n, i), or one channel at a time via a Python loop
-    of single-plane calls."""
+    components. → (C, n, H, W) ``out_dtype`` (accumulation is always f32 in
+    VMEM scratch; a bf16 out_dtype only moves the consumer's astype into
+    the kernel's store — same values, half the output HBM traffic). Channel
+    planes are DMA'd to VMEM once and shared by all n warps: either all C
+    channels resident (bf16 720p and small f32) with grid (n, i), or one
+    channel at a time via a Python loop of single-plane calls."""
     C = planes.shape[0]
     n = u.shape[0]
     sub = _sublane(planes.dtype)
@@ -340,7 +350,8 @@ def _warp_planes_core(planes: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
             grid=grid,
             in_specs=[img_spec, uv_spec, uv_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((C, n, Hp, Wl), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((C, n, Hp, Wl), out_dtype),
+            scratch_shapes=[pltpu.VMEM((C, _HB, _LANES), jnp.float32)],
         )(planes, u, v)
     else:
         # plane-at-a-time, one pallas_call per channel: a channel grid dim
@@ -359,7 +370,8 @@ def _warp_planes_core(planes: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                 grid=grid,
                 in_specs=[img_spec, uv_spec, uv_spec],
                 out_specs=out_spec,
-                out_shape=jax.ShapeDtypeStruct((1, n, Hp, Wl), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((1, n, Hp, Wl), out_dtype),
+                scratch_shapes=[pltpu.VMEM((1, _HB, _LANES), jnp.float32)],
             )(planes[c : c + 1], u, v)
             for c in range(C)
         ]
@@ -400,31 +412,36 @@ def _batched_pallas(fn, *args):
     return jnp.stack([fn(*(a[i] for a in args)) for i in range(B)])
 
 
-@jax.custom_vjp
-def _mf_unguarded_planar(planes, u, v):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mf_unguarded_planar(out_dtype, planes, u, v):
     B, C, H, W = planes.shape
     return _batched_pallas(
-        lambda p, uu, vv: _warp_planes_core(p, uu, vv, H, W), planes, u, v
+        lambda p, uu, vv: _warp_planes_core(p, uu, vv, H, W, out_dtype),
+        planes, u, v,
     )
 
 
-def _mfu_p_fwd(planes, u, v):
-    return _mf_unguarded_planar(planes, u, v), (planes, u, v)
+def _mfu_p_fwd(out_dtype, planes, u, v):
+    return _mf_unguarded_planar(out_dtype, planes, u, v), (planes, u, v)
 
 
-def _mfu_p_bwd(res, g):
+def _mfu_p_bwd(out_dtype, res, g):
     planes, u, v = res
     _, vjp = jax.vjp(_planar_via_xla, planes, u, v)
-    return vjp(g)
+    return vjp(g.astype(jnp.float32))
 
 
 _mf_unguarded_planar.defvjp(_mfu_p_fwd, _mfu_p_bwd)
 
 
 def backward_warp_multiflow_planar(planes: jnp.ndarray, u: jnp.ndarray,
-                                   v: jnp.ndarray) -> jnp.ndarray:
+                                   v: jnp.ndarray,
+                                   out_dtype=jnp.float32) -> jnp.ndarray:
     """Planar-native multi-flow warp: (B, C, H, W) planes x (B, n, H, W)
-    f32 u/v components → (B, C, n, H, W) f32.
+    f32 u/v components → (B, C, n, H, W) ``out_dtype`` (f32 accumulation;
+    a bf16 out_dtype equals astype-after-f32-warp bit-for-bit and halves
+    the output HBM traffic — used by the stage-2 input warps, whose
+    consumer quantizes to bf16 anyway).
 
     The fused multi-t epilogue keeps flows and visibility maps as planes
     (models/superslomo.py): a (H, W) plane tiles the TPU's (8, 128)
@@ -443,9 +460,9 @@ def backward_warp_multiflow_planar(planes: jnp.ndarray, u: jnp.ndarray,
         img = planes.transpose(0, 2, 3, 1)
         flows = jnp.stack([u, v], axis=-1)
         out = backward_warp_multiflow(img, flows, unguarded=True)
-        return out.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
-    return _mf_unguarded_planar(planes, u.astype(jnp.float32),
-                                v.astype(jnp.float32))
+        return out.transpose(0, 4, 1, 2, 3).astype(out_dtype)
+    return _mf_unguarded_planar(jnp.dtype(out_dtype), planes,
+                                u.astype(jnp.float32), v.astype(jnp.float32))
 
 
 def _mf_tiled_xla(img, flows):
