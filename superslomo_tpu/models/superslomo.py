@@ -422,16 +422,6 @@ class SuperSloMo(nn.Module):
             x[:, :, None], x.shape[:2] + (n_t,) + x.shape[2:]
         )  # (BW, c, H, W) → (BW, c, n_t, H, W)
         est = jnp.stack([u_t1, v_t1, u_t0, v_t0], axis=1)  # (BW, 4, n_t, H, W)
-        P = jnp.concatenate(
-            [
-                bc(pl1).astype(cdt),
-                w1t,
-                est.astype(cdt),
-                w0t,
-                bc(pl0).astype(cdt),
-            ],
-            axis=1,
-        )  # (BW, 16, n_t, H, W) compute dtype
         Hh, Wh = H // 2, W_ // 2
         if self.spec.v2_assembly:
             # grouped (c, r, s) channel order: the minor dims of the
@@ -441,12 +431,44 @@ class SuperSloMo(nn.Module):
             # channel-to-minor relayout PLUS a phase-interleave pass
             # (~7 ms/step at 720p). conv1a consumes this order via its
             # in_perm weight permutation (models/unet.py).
-            flowI_s2d = (
-                P.reshape(B, W_n, 16, n_t, Hh, 2, Wh, 2)
-                .transpose(0, 3, 1, 4, 6, 2, 5, 7)
-                .reshape(B * n_t, W_n, Hh, Wh, 64)
-            )
+            #
+            # Round 5: each component is transposed DIRECTLY into its
+            # contiguous channel block of the target (component k's
+            # channels [c0, c1) occupy minor indices [4·c0, 4·c1) in
+            # grouped order — per-block layout (c_local, r, s), globally
+            # identical to (c, r, s)), so the (BW, 16, n_t, H, W) ``P``
+            # concat never materializes — the transposes write straight
+            # into the concat output. SSMTPU_ASM_VIA_P=1 restores the
+            # concat-then-one-transpose variant for A/B (trace-time).
+            def to_s2d_grouped(x):
+                c = x.shape[1]
+                return (
+                    x.reshape(B, W_n, c, n_t, Hh, 2, Wh, 2)
+                    .transpose(0, 3, 1, 4, 6, 2, 5, 7)
+                    .reshape(B * n_t, W_n, Hh, Wh, 4 * c)
+                )
+
+            import os as _os
+
+            comps = [bc(pl1).astype(cdt), w1t, est.astype(cdt), w0t,
+                     bc(pl0).astype(cdt)]
+            if _os.environ.get("SSMTPU_ASM_VIA_P", "0") == "1":
+                flowI_s2d = to_s2d_grouped(jnp.concatenate(comps, axis=1))
+            else:
+                flowI_s2d = jnp.concatenate(
+                    [to_s2d_grouped(p) for p in comps], axis=-1
+                )
         else:
+            P = jnp.concatenate(
+                [
+                    bc(pl1).astype(cdt),
+                    w1t,
+                    est.astype(cdt),
+                    w0t,
+                    bc(pl0).astype(cdt),
+                ],
+                axis=1,
+            )  # (BW, 16, n_t, H, W) compute dtype
             # (B, W_n, 16, n_t, Hh, r, Wh, s) → (B, n_t, W_n, Hh, Wh, r, s,
             # 16): one transpose producing the (r, s, c) channel-minor S2D
             # tensor in the stage-2 fold order (t-grid into batch,
