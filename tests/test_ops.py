@@ -108,3 +108,43 @@ class TestUpsample:
             align_corners=False,
         ).numpy()
         np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-6)
+
+
+class TestWarpMultiflowPlanarWrapper:
+    """CPU-path contract of ops.warp_multiflow_planar (the TPU kernel's
+    parity is pinned in tests/test_warp_pallas.py)."""
+
+    def test_matches_per_flow_backward_warp(self, rng):
+        from superslomo_tpu.ops import backward_warp, warp_multiflow_planar
+
+        B, C, n, H, W = 2, 3, 3, 32, 48
+        img = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        flows = jnp.asarray(
+            (rng.standard_normal((B, n, H, W, 2)) * 4), jnp.float32
+        )
+        planes = img.transpose(0, 3, 1, 2)
+        out = warp_multiflow_planar(planes, flows[..., 0], flows[..., 1])
+        assert out.shape == (B, C, n, H, W) and out.dtype == jnp.float32
+        for k in range(n):
+            ref = backward_warp(img, flows[:, k])
+            np.testing.assert_allclose(
+                np.asarray(out[:, :, k].transpose(0, 2, 3, 1)),
+                np.asarray(ref), atol=1e-6, rtol=0,
+            )
+
+    def test_out_dtype_is_astype_of_f32(self, rng):
+        """out_dtype=bf16 == astype(bf16) of the f32 result (round 5: the
+        stage-2 input warps store the consumer dtype directly)."""
+        from superslomo_tpu.ops import warp_multiflow_planar
+
+        B, C, n, H, W = 1, 2, 2, 24, 40
+        planes = jnp.asarray(rng.standard_normal((B, C, H, W)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((B, n, H, W)) * 3, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, n, H, W)) * 3, jnp.float32)
+        f32_out = warp_multiflow_planar(planes, u, v)
+        bf_out = warp_multiflow_planar(planes, u, v, out_dtype=jnp.bfloat16)
+        assert bf_out.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(bf_out.astype(jnp.float32)),
+            np.asarray(f32_out.astype(jnp.bfloat16).astype(jnp.float32)),
+        )

@@ -72,3 +72,28 @@ def test_pallas_warp_gradients():
     gf, gi = jax.grad(loss, argnums=(0, 1))(flow, img)
     assert np.isfinite(np.asarray(gf)).all() and float(jnp.abs(gf).sum()) > 0
     assert np.isfinite(np.asarray(gi)).all()
+
+
+@requires_tpu
+def test_planar_multiflow_out_dtype_exact():
+    """out_dtype=bf16 must equal astype-after-f32-warp BIT-FOR-BIT: the
+    kernel accumulates f32 in VMEM scratch and only the final store rounds
+    (round 5 — the stage-2 input warps rely on this identity)."""
+    from superslomo_tpu.ops.warp_pallas import backward_warp_multiflow_planar
+
+    rng = np.random.default_rng(3)
+    B, C, n, H, W = 1, 3, 4, 96, 160
+    planes = jnp.asarray(
+        rng.standard_normal((B, C, H, W), dtype=np.float32)
+    ).astype(jnp.bfloat16)
+    u = jnp.asarray((rng.standard_normal((B, n, H, W)) * 6).astype(np.float32))
+    v = jnp.asarray((rng.standard_normal((B, n, H, W)) * 6).astype(np.float32))
+    f32_out = backward_warp_multiflow_planar(planes, u, v)
+    bf16_out = backward_warp_multiflow_planar(
+        planes, u, v, out_dtype=jnp.bfloat16
+    )
+    assert f32_out.dtype == jnp.float32 and bf16_out.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(bf16_out.astype(jnp.float32)),
+        np.asarray(f32_out.astype(jnp.bfloat16).astype(jnp.float32)),
+    )
