@@ -175,11 +175,20 @@ def bench_batched_720p(result, h, w, n_t, compute_dtype, batches=(8, 4, 2),
     # vs_baseline/value is the constant 1/torch_fps, so rescaling from the
     # CURRENT best keeps it exact even across a later cold-sweep call
     base_fps = result["value"]
-    for B in batches:
+    for i, B in enumerate(batches):
         if remaining_s() < 120:
             break
+        # The FIRST point (B=8, the headline configuration) may use most of
+        # the remaining budget, not just the flat per-point wall: it is the
+        # single number that moves ``value``, and this session measured its
+        # cold compile at ~25 min vs ssmr/train at ~15 — a flat 420 s bound
+        # sacrifices the headline to protect points that matter less
+        # (2026-08-21 cold-cache run: b8/b4/b2 all cold_skipped at 420 s
+        # while warm points need <90 s). ~6 min is held back so warm
+        # secondaries can still land after a failed cold attempt.
+        wall = point_wall_s if i else max(point_wall_s, remaining_s() - 360)
         try:
-            with _bounded(min(point_wall_s, max(remaining_s() - 30, 60))):
+            with _bounded(min(wall, max(remaining_s() - 30, 60))):
                 step, params, frames = build_multi_t_step(h, w, n_t, compute_dtype, B)
                 out = step(params, frames)
                 out.block_until_ready()
@@ -540,7 +549,12 @@ def main():
     # sweep point is now individually _bounded: a cold compile costs one
     # point's wall (~7 min), never the rest of the budget.
     secondaries = [
-        (bench_batched_720p, (result, H, W, n_t, compute_dtype), 150),
+        # 480 (not 150): the enclosing 3x per-secondary SIGALRM wall caps
+        # the nested per-point bounds, and the B=8 first point is allowed
+        # to spend most of the remaining budget on a semi-cold compile
+        # (see bench_batched_720p) — 3x480 = 1440 s keeps that possible
+        # inside the driver's 1500 s budget while still bounding a hang.
+        (bench_batched_720p, (result, H, W, n_t, compute_dtype), 480),
         (bench_ssmr_stream, (result,), 420),
         (bench_train, (result,), 240),
         (bench_1080p, (result, compute_dtype, n_t), 150),
