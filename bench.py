@@ -281,6 +281,8 @@ def bench_cold_sweeps(result, h, w, n_t, compute_dtype):
     for name in list(result.get("cold_skipped", [])):
         if remaining_s() < 180:
             break
+        if not (name.startswith("b") and name.count("_") == 1):
+            continue  # e.g. "train_352_remat": no batch-sweep retry slot
         b, res = name.split("_")  # e.g. "b8_720p"
         B = int(b[1:])
         result["cold_skipped"].remove(name)
@@ -359,9 +361,17 @@ def bench_train(result):
     )
     emit(result)
     if remaining_s() > 300:
-        result["train_samples_per_sec_b8_352_remat"] = round(
-            train_throughput(8, 352, 352, remat=True), 2
-        )
+        # individually bounded: a cold 352-remat compile must cost this
+        # point, not flag the whole secondary failed (2026-08-21 run: the
+        # 3x secondary alarm fired mid-compile here and the 224 number —
+        # already emitted — was the only train evidence left)
+        try:
+            with _bounded(max(remaining_s() - 30, 60)):
+                result["train_samples_per_sec_b8_352_remat"] = round(
+                    train_throughput(8, 352, 352, remat=True), 2
+                )
+        except TimeoutError:
+            result.setdefault("cold_skipped", []).append("train_352_remat")
 
 
 def train_throughput(batch, h, w, remat, iters=10):
