@@ -568,7 +568,13 @@ def main():
         (bench_ssmr_stream, (result,), 420),
         (bench_train, (result,), 240),
         (bench_1080p, (result, compute_dtype, n_t), 150),
-        (bench_cold_sweeps, (result, H, W, n_t, compute_dtype), 180),
+        # 1200 (not 180): the retry slot's generous per-point walls were
+        # being strangled by its own 3x secondary alarm (2026-08-21 run:
+        # 3x180 = 540 s for ALL retries combined — the first ~25 min cold
+        # compile ate it and every later retry failed in seconds). 3x1200
+        # covers two real cold compiles; the remaining-budget gate still
+        # skips the slot entirely in a tight driver run.
+        (bench_cold_sweeps, (result, H, W, n_t, compute_dtype), 1200),
     ]
 
     def _alarm(signum, frame):
