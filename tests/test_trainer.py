@@ -15,6 +15,20 @@ from superslomo_tpu.training.trainer import Trainer, TrainState, step_lr
 from tests.test_data import write_png_clip
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_cache_writes():
+    """Quarantine persistent-cache WRITES for this module: in a full
+    `pytest -m compile` session, serializing this module's train-step
+    executable segfaults jaxlib (jax 0.9.0, put_executable_and_time →
+    rc=139; reproduced twice 2026-08-21 at the same test) — while the same
+    tests standalone write and pass. Reads still hit; the cost is one
+    cold ~7-min compile per full-tier session on this host."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 @pytest.fixture
 def train_cfg(tmp_path):
     cfg = default_config()
